@@ -1,0 +1,132 @@
+"""MPConv — the flax module wrapping the typed-edge message passing op.
+
+Equivalent of the reference ``mp_conv_v2`` (mp_nn.py:13-175) and
+``mp_conv_residual`` (mp_nn_residual.py:7-56) in (B, N, C) layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import Extension, typed_mp_conv
+from .norm import BatchNorm, Dense, leaky_relu
+
+
+def _filters_init(key, shape):
+    # mp_nn.py:49 — U(-0.01, 0.01)
+    return jax.random.uniform(key, shape, jnp.float32, -0.01, 0.01)
+
+
+def _bias_init(key, shape):
+    # mp_nn.py:53 — U(0, 0.05)
+    return jax.random.uniform(key, shape, jnp.float32, 0.0, 0.05)
+
+
+class MPConv(nn.Module):
+    """Typed-edge graph conv: gather -> filter bank -> etype mix -> aggregate
+    -> bias -> BatchNorm -> ReLU (mp_nn.py:115-175).
+
+    Attributes mirror mp_conv_v2.__init__ (mp_nn.py:18-66); defaults match:
+    extension=ORIG_WITH_DIFF, aggregator='softmax' (gamma=3).
+    """
+
+    nout: int
+    nedge_types: int
+    use_bias: bool = True
+    use_bn: bool = True
+    extension: Extension = Extension.ORIG_WITH_DIFF
+    activation: Optional[str] = "relu"
+    aggregator: str = "softmax"
+    gamma: float = 3.0
+
+    @nn.compact
+    def __call__(self, x, nn_idx, etype, train: bool = True):
+        cin = x.shape[-1]
+        cin_eff = cin if self.extension == Extension.NO_EXTENSION else 2 * cin
+        filters = self.param(
+            "filters", _filters_init, (cin_eff, self.nout * self.nedge_types)
+        )
+        bias = self.param("bias", _bias_init, (self.nout,)) if self.use_bias else None
+
+        y = typed_mp_conv(
+            x,
+            nn_idx,
+            etype,
+            filters,
+            self.nout,
+            extension=self.extension,
+            aggregator=self.aggregator,
+            gamma=self.gamma,
+            bias=bias,
+        )
+        if self.use_bn:
+            y = BatchNorm(name="bn")(y, use_running_average=not train)
+        if self.activation == "relu":
+            y = nn.relu(y)
+        return y
+
+
+class MPConvResidual(nn.Module):
+    """Bottleneck MP block (mp_nn_residual.py:7-56):
+
+    Dense(nin->nmed)+BN+LeakyReLU -> MPConv(nmed->nmed) ->
+    Dense(nmed->nout)+BN+LeakyReLU [+ residual when with_residual].
+
+    Defaults match the reference: extension=ORIG_WITH_DIFF, aggregator='max',
+    nout=nin when unspecified.
+    """
+
+    nmed: int
+    nedge_types: int
+    extension: Extension = Extension.ORIG_WITH_DIFF
+    with_residual: bool = True
+    aggregator: str = "max"
+    nout: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, nn_idx, etype, train: bool = True):
+        nout = self.nout if self.nout is not None else x.shape[-1]
+        h = Dense(self.nmed, name="conv1")(x)
+        h = BatchNorm(name="bn1")(h, use_running_average=not train)
+        h = leaky_relu(h)
+        h = MPConv(
+            self.nmed,
+            self.nedge_types,
+            extension=self.extension,
+            aggregator=self.aggregator,
+            name="mp_conv",
+        )(h, nn_idx, etype, train=train)
+        h = Dense(nout, name="conv2")(h)
+        h = BatchNorm(name="bn2")(h, use_running_average=not train)
+        h = leaky_relu(h)
+        if self.with_residual:
+            h = h + x
+        return h
+
+
+class GConvResidual(nn.Module):
+    """gconv_residual (mp_nn.py:178-199): like MPConvResidual but with
+    ReLU nonlinearities, mp_conv defaults (softmax/DIFF), nout == nin."""
+
+    nmed: int
+    nedge_types: int
+    with_residual: bool = True
+
+    @nn.compact
+    def __call__(self, x, nn_idx, etype, train: bool = True):
+        h = Dense(self.nmed, name="conv1")(x)
+        h = BatchNorm(name="bn1")(h, use_running_average=not train)
+        h = nn.relu(h)
+        h = MPConv(self.nmed, self.nedge_types, name="mp_conv")(
+            h, nn_idx, etype, train=train
+        )
+        h = Dense(x.shape[-1], name="conv2")(h)
+        h = BatchNorm(name="bn2")(h, use_running_average=not train)
+        h = nn.relu(h)
+        if self.with_residual:
+            h = h + x
+        return h

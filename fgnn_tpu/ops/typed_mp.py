@@ -1,0 +1,136 @@
+"""Typed-edge message passing — the core FGNN compute primitive.
+
+Implements the exact math of the reference ``mp_conv_v2``
+(/root/reference/lib/model/mpnn/mp_nn.py:115-175) in a TPU-native layout:
+
+  * features are ``(B, N, C)`` (channels last -> TPU lanes),
+  * the per-edge-type filter bank is one big matmul on the MXU,
+  * the neighbor gather + etype contraction + K-aggregation are fused by XLA
+    (a Pallas fused kernel backs the hot configuration, see pallas_mp.py).
+
+Per destination node ``i`` with neighbor slot ``k`` (source ``j = nn_idx[i,k]``):
+
+  NO_EXTENSION       m[i,k] = sum_t etype[i,k,t] * (W_t x[j])
+  ORIG_WITH_NEIGHBOR m[i,k] = sum_t etype[i,k,t] * (W_t [x[i] ; x[j]])
+  ORIG_WITH_DIFF     m[i,k] = sum_t etype[i,k,t] * (W_t [x[i] ; x[i]-x[j]])
+
+followed by an aggregation over k in {max, (1/g)*logsumexp(g*.), mean}
+(mp_nn.py:68-90, g=3 by default) and a bias add (mp_n.py:165-168).
+
+The reference semantics are kept bit-for-bit *including* its padding
+behavior: padded slots in ``nn_idx`` (self-loops etc.) contribute real
+messages, exactly as the reference's dense gather tables do — no masking.
+
+Filter layout matches the reference parameter so checkpoints can be
+transliterated: ``filters`` has shape ``(C_in, C_out * T)`` (or ``2*C_in``
+for the extensions) where column index = c_out * T + t (mp_nn.py:128-134).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Extension(enum.Enum):
+    """Edge-input construction variants (mp_nn.py:7-10)."""
+
+    NO_EXTENSION = 0
+    ORIG_WITH_NEIGHBOR = 1
+    ORIG_WITH_DIFF = 2
+
+
+def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
+    """Gather per-edge source features.
+
+    x:      (B, N_src, C)
+    nn_idx: (N_dst, K) shared across batch, or (B, N_dst, K) per-sample.
+    returns (B, N_dst, K, C)
+    """
+    if nn_idx.ndim == 2:
+        return x[:, nn_idx]
+    if nn_idx.ndim == 3:
+        return jax.vmap(lambda xb, ib: xb[ib])(x, nn_idx)
+    raise ValueError(f"nn_idx must be rank 2 or 3, got {nn_idx.shape}")
+
+
+def aggregate(msgs: jax.Array, aggregator: str, gamma: float = 3.0) -> jax.Array:
+    """Aggregate per-edge messages over the neighbor axis K.
+
+    msgs: (B, N, K, C) -> (B, N, C).  Matches mp_nn.py:68-90.
+    """
+    if aggregator == "max":
+        return jnp.max(msgs, axis=2)
+    if aggregator == "softmax":
+        # (1/gamma) * logsumexp(gamma * x) over K  (mp_nn.py:79-85)
+        return (1.0 / gamma) * jax.nn.logsumexp(gamma * msgs, axis=2)
+    if aggregator == "mean":
+        return jnp.mean(msgs, axis=2)
+    if aggregator == "sum":
+        return jnp.sum(msgs, axis=2)
+    raise ValueError(f"unknown aggregator {aggregator!r}")
+
+
+def typed_mp_conv(
+    x: jax.Array,
+    nn_idx: jax.Array,
+    etype: jax.Array,
+    filters: jax.Array,
+    nout: int,
+    *,
+    extension: Extension = Extension.NO_EXTENSION,
+    aggregator: str = "softmax",
+    gamma: float = 3.0,
+    bias: Optional[jax.Array] = None,
+    precision=None,
+) -> jax.Array:
+    """The full typed-edge graph conv (without norm/activation).
+
+    x:       (B, N_src, C_in)
+    nn_idx:  (N_dst, K) or (B, N_dst, K), int
+    etype:   (B, N_dst, K, T) per-edge type-weight vectors
+    filters: (C_in, nout*T) for NO_EXTENSION, (2*C_in, nout*T) otherwise;
+             column layout c_out * T + t (matches reference mp_nn.py:124-159)
+    bias:    (nout,) optional, added AFTER aggregation (mp_nn.py:165-168)
+    returns  (B, N_dst, nout)
+    """
+    T = etype.shape[-1]
+    dtype = x.dtype
+
+    if extension == Extension.NO_EXTENSION:
+        # Transform at the source (N_src rows), then gather the (nout*T)-dim
+        # rows — cheaper than per-edge matmuls whenever K > 1, and the same
+        # contraction order as the reference (mp_nn.py:124-134).
+        h = jnp.matmul(x, filters.astype(dtype), precision=precision)
+        h = h.reshape(*h.shape[:-1], nout, T)
+        hg = gather_nodes(h.reshape(*h.shape[:-2], nout * T), nn_idx)
+        hg = hg.reshape(*hg.shape[:-1], nout, T)
+        msgs = jnp.einsum("bnkct,bnkt->bnkc", hg, etype.astype(dtype),
+                          precision=precision)
+    else:
+        # Edge input [x_i ; x_i - x_j] (DIFF) or [x_i ; x_j] (NEIGHBOR)
+        # (mp_nn.py:136-159). Requires N_dst == N_src.
+        xg = gather_nodes(x, nn_idx)                      # (B, N, K, C)
+        xi = x[:, :, None, :]                             # (B, N, 1, C)
+        if extension == Extension.ORIG_WITH_DIFF:
+            e = xi - xg
+        elif extension == Extension.ORIG_WITH_NEIGHBOR:
+            e = xg
+        else:
+            raise ValueError(f"unknown extension {extension}")
+        K = xg.shape[2]
+        efeat = jnp.concatenate(
+            [jnp.broadcast_to(xi, xg.shape), e], axis=-1)  # (B, N, K, 2C)
+        h = jnp.matmul(efeat, filters.astype(dtype), precision=precision)
+        h = h.reshape(*h.shape[:-1], nout, T)             # (B, N, K, nout, T)
+        msgs = jnp.einsum("bnkct,bnkt->bnkc", h, etype.astype(dtype),
+                          precision=precision)
+
+    out = aggregate(msgs, aggregator, gamma)
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out

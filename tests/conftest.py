@@ -1,0 +1,26 @@
+"""Test harness config: force CPU with 8 virtual devices for sharding tests.
+
+Must run before JAX initializes its backends, hence the env mutation at
+import time (pytest imports conftest first).
+"""
+
+import os
+
+# Force CPU: the session env pins JAX_PLATFORMS to the real TPU tunnel,
+# which would make every tiny test pay a remote compile.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep matmuls at full f32 precision on CPU for parity tests.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
