@@ -1,0 +1,119 @@
+"""Shared training infrastructure: train state, optimizers with
+reference-matching schedules, checkpointing with full resume.
+
+Reference semantics reproduced (SURVEY.md §5):
+  * torch.optim.Adam with L2 weight decay folded into the gradient
+    (train_ldpc.py:160-161) — optax add_decayed_weights BEFORE adam.
+  * LambdaLR stepped per EPOCH: lr = base * factor(epoch)
+    (train_syn_*.py 0.98^epoch; train_ldpc.py warmup/0.99 decay).
+  * grad-clip 1.0 (train_syn_fixed_pw_hop.py:270) where the reference uses it.
+  * checkpoint dict {params, batch_stats, opt_state, epoch, gcnt} with
+    resume-if-exists (train_ldpc.py:172-183).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    gcnt: jax.Array  # global step
+
+
+@dataclass
+class Schedules:
+    """Per-epoch LR multipliers (LambdaLR equivalents)."""
+
+    @staticmethod
+    def exp_decay(gamma: float = 0.98, floor: float = 1e-6):
+        return lambda epoch: max(gamma ** epoch, floor)
+
+    @staticmethod
+    def ldpc(start: int = 10):
+        # train_ldpc.py:163-167
+        def f(epoch):
+            if epoch <= start:
+                return max(1e-2, epoch / start)
+            return max(0.99 ** (epoch - start), 1e-6)
+        return f
+
+
+def make_optimizer(base_lr: float, weight_decay: float = 0.0,
+                   clip_norm: Optional[float] = None):
+    """Adam with torch-style L2 decay and a settable LR (per-epoch)."""
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.inject_hyperparams(optax.adam)(learning_rate=base_lr))
+    return optax.chain(*parts)
+
+
+def set_lr(opt_state, lr: float):
+    """Set the injected learning rate in-place (returns new opt_state)."""
+    inner = opt_state[-1]
+    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int,
+                    extra: Optional[dict] = None):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "gcnt": int(state.gcnt),
+        "epoch": int(epoch),
+        "extra": extra or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+    logging.info("saved checkpoint to %s (epoch %d)", path, epoch)
+
+
+def load_checkpoint(path: str, state: TrainState):
+    """Restore a checkpoint into an existing state skeleton.
+
+    Returns (state, start_epoch, extra)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+
+    def _restore(template, saved):
+        leaves_t, treedef = jax.tree.flatten(template)
+        leaves_s = jax.tree.leaves(saved)
+        assert len(leaves_t) == len(leaves_s), "checkpoint structure mismatch"
+        return jax.tree.unflatten(
+            treedef, [jnp.asarray(s) for s in leaves_s])
+
+    state = state.replace(
+        params=_restore(state.params, payload["params"]),
+        batch_stats=_restore(state.batch_stats, payload["batch_stats"]),
+        opt_state=_restore(state.opt_state, payload["opt_state"]),
+        gcnt=jnp.asarray(payload["gcnt"], jnp.int32),
+    )
+    logging.info("restored checkpoint from %s (epoch %d)", path, payload["epoch"])
+    return state, payload["epoch"], payload.get("extra", {})
+
+
+def global_norm(tree) -> float:
+    return float(jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                              for x in jax.tree.leaves(tree))))
