@@ -65,9 +65,9 @@ class RandomPGM:
     def __post_init__(self):
         self.rng = np.random.RandomState(self.seed)
         if self.transition is None:
-            # reference seeds np with 23456 and draws 4 normals
-            # (train_syn_fixed_pw_hop.py:179-181)
-            self.transition = np.random.RandomState(23456).randn(2, 2)
+            # the value the reference dataset writer actually uses
+            # (data_generate/generate_random_pgm.py:45)
+            self.transition = [0.0, 0.1, 0.2, 1.0]
         self.transition = np.asarray(self.transition, np.float64).reshape(2, 2)
 
     def sample(self) -> dict:

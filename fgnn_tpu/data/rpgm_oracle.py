@@ -48,46 +48,37 @@ def map_chain_budget(lops: np.ndarray, pws, caps, hop_order: int = 9):
     else:
         caps_arr = np.asarray(caps, np.int64)[:n_windows]
 
-    S = 1 << max(h - 1, 0)  # window-history states (bits of last h-1 vars)
-    mask = S - 1
+    S = 1 << max(h - 1, 1)  # window-history states (bits of last h-1 vars)
+    half = S >> 1
+    states = np.arange(S)
+    low_bit = states & 1
+    popc = np.array([bin(s).count("1") for s in range(S)], np.int64)
 
     # dp[s] = best score of assignments whose last h-1 bits equal s
     # (bit j of s = x_{i-j}, i.e. bit 0 is the most recent variable).
     dp = np.full(S, NEG_INF)
-    bp = []  # backpointers: list over i of (S,) previous-state or -1
+    bp = [np.full(S, -1, np.int64)]  # backpointers per position
+    dp[0] = lops[0, 0]
+    dp[1] = lops[0, 1]
 
-    # i = 0
-    for x0 in (0, 1):
-        s = x0
-        v = lops[0, x0]
-        if v > dp[s]:
-            dp[s] = v
-    bp.append(np.full(S, -1, np.int64))
-
-    valid_bits = 1  # number of meaningful low bits in the state
+    ns0 = np.arange(0, S, 2)  # next-states with low bit 0
+    ns1 = np.arange(1, S, 2)
     for i in range(1, L):
         ndp = np.full(S, NEG_INF)
         nbp = np.full(S, -1, np.int64)
-        for s in range(S):
-            if dp[s] <= NEG_INF / 2:
-                continue
-            x_prev = s & 1
-            for xi in (0, 1):
-                ns = ((s << 1) | xi) & mask
-                v = dp[s] + lops[i, xi] + pws[i - 1][x_prev, xi]
-                # window [i-h+1, i] completes at this step
-                w = i - h + 1
-                if w >= 0:
-                    # bits of the full window: xi plus the h-1 bits of s
-                    window_pop = xi + bin(s & ((1 << (h - 1)) - 1)).count("1")
-                    if window_pop > caps_arr[w]:
-                        continue
-                if v > ndp[ns]:
-                    ndp[ns] = v
-                    nbp[ns] = s
-        dp, bp_i = ndp, nbp
-        bp.append(bp_i)
-        valid_bits = min(valid_bits + 1, h - 1)
+        w = i - h + 1
+        for xi, ns in ((0, ns0), (1, ns1)):
+            cand = dp + pws[i - 1][low_bit, xi]
+            if w >= 0:  # window [i-h+1, i] completes: enforce its budget
+                cand = np.where(popc + xi > caps_arr[w], NEG_INF, cand)
+            pa = ns >> 1          # predecessors of ns under (s<<1|xi)&mask
+            pb = pa | half
+            va, vb = cand[pa], cand[pb]
+            take_b = vb > va
+            ndp[ns] = np.where(take_b, vb, va) + lops[i, xi]
+            nbp[ns] = np.where(take_b, pb, pa)
+        dp = ndp
+        bp.append(nbp)
 
     best_s = int(np.argmax(dp))
     best_v = dp[best_s]

@@ -20,6 +20,7 @@ from .containers import (
 from .factor_nn import FactorNN
 from .factor_mpnn import FactorMPNN
 from .ldpc_model import LDPCModel, SigmaBRegressor
+from .synthetic import SynFixedModel, SynPwFactorModel, SynHopFactorModel
 from .knn import pairwise_distance, knn_graph, get_nn_node_feature, get_edge_feature
 
 __all__ = [
@@ -29,5 +30,6 @@ __all__ = [
     "MPConv", "MPConvResidual", "GConvResidual",
     "IIDBlock", "MPSequential", "ParallelNet", "MPEnsemble", "GlobalPooling",
     "FactorNN", "FactorMPNN", "LDPCModel", "SigmaBRegressor",
+    "SynFixedModel", "SynPwFactorModel", "SynHopFactorModel",
     "pairwise_distance", "knn_graph", "get_nn_node_feature", "get_edge_feature",
 ]

@@ -54,6 +54,10 @@ class LDPCModel(nn.Module):
     n_info_bits: int = 48
     with_residual: bool = True
     aggregator: str = "max"
+    # architecture knobs (defaults = the reference configuration,
+    # train_ldpc.py:23-30); shrink for smoke tests
+    dim_mapping_list: tuple = (64, 64, 64, 128, 256, 256, 128, 64, 64)
+    skip_link: Any = None  # default {4: 3, 5: 2, 7: 0}
 
     @nn.compact
     def __call__(self, node_feature, hop_feature, nn_idx_f2v, nn_idx_v2f,
@@ -77,12 +81,13 @@ class LDPCModel(nn.Module):
         hetype_f2v = jnp.ones((B, N, 1, 1), node_feature.dtype)
         hetype_v2f = jnp.ones((B, 1, N, 1), node_feature.dtype)
 
+        skip = self.skip_link if self.skip_link is not None else {4: 3, 5: 2, 7: 0}
         res, fs = FactorNN(
             factor_feature_dims=(self.hop_order, N),
-            dim_mapping_list=(64, 64, 64, 128, 256, 256, 128, 64, 64),
+            dim_mapping_list=tuple(self.dim_mapping_list),
             netype_list=(self.nedge_types, 1),
             nclass=2,
-            skip_link={4: 3, 5: 2, 7: 0},
+            skip_link=skip,
             ret_high=True,
             aggregator=self.aggregator,
             name="main",

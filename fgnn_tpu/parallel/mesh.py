@@ -1,0 +1,47 @@
+"""Device-mesh management.
+
+The reference is single-process single-GPU (SURVEY.md §2.6); all scaling in
+fgnn_tpu goes through a ``jax.sharding.Mesh`` with two logical axes:
+
+  * ``data``  — batch (DP): each sample's factor graph is independent, so
+    the batch axis shards cleanly; BatchNorm statistics become global
+    automatically under jit (true SyncBatchNorm).
+  * ``model`` — tensor axis (TP): the per-edge-type filter banks
+    ``(C_in, C_out*T)`` shard on the output column axis; XLA inserts the
+    all-gathers/reduce-scatters over ICI.
+
+For multi-host runs call ``jax.distributed.initialize()`` before
+``make_mesh`` and the same code spans hosts (DCN between slices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              axis_names: Sequence[str] = ("data", "model"),
+              devices=None) -> Mesh:
+    """Create a 2D (data, model) mesh over the given (default: all) devices.
+
+    shape=None picks (n_devices, 1) — pure DP, the right default for the
+    reference workloads' sizes.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, (shape, n)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def local_mesh(n: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    """Mesh over the first n local devices with a model axis of given size."""
+    devices = jax.devices()[: n or len(jax.devices())]
+    dp = len(devices) // model_parallel
+    return make_mesh((dp, model_parallel), devices=devices)

@@ -1,0 +1,231 @@
+"""LDPC neural-decoder training / evaluation (reference train_ldpc.py).
+
+Workload: decode the MacKay 96.3.963 code under AWGN + burst noise.
+Training data is synthesized on the fly (ContinuousCodesSP); evaluation is
+the 5 SNR x 6 sigma_b BER matrix over a pre-generated grid.
+
+Reference hyperparameters reproduced: Adam lr 1e-2 wd 1e-8
+(train_ldpc.py:160-161), warmup-then-0.99-decay per-epoch LR
+(train_ldpc.py:163-169), loss = BCE-with-logits over the 48 info bits +
+0.1 * MSE on the predicted 10^(sigma_b/20) (train_ldpc.py:222-227),
+batch 32, 10k samples/epoch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import Codes, ContinuousCodesSP, generate_eval_set
+from ..models import LDPCModel
+from ..utils import MetricsWriter, init_logger
+from .common import (
+    Schedules,
+    TrainState,
+    load_checkpoint,
+    make_optimizer,
+    save_checkpoint,
+    set_lr,
+)
+
+N_INFO = 48
+
+
+def create_state(model: LDPCModel, sample_batch: dict, seed: int = 0,
+                 base_lr: float = 1e-2):
+    inputs = _model_inputs(sample_batch)
+    variables = model.init(jax.random.PRNGKey(seed), **inputs, train=True)
+    tx = make_optimizer(base_lr, weight_decay=1e-8)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        gcnt=jnp.asarray(0, jnp.int32),
+    ), tx
+
+
+def _model_inputs(batch: dict) -> dict:
+    return {
+        "node_feature": batch["node_feature"],
+        "hop_feature": batch["hop_feature"],
+        "nn_idx_f2v": batch["nn_idx_f2v"],
+        "nn_idx_v2f": batch["nn_idx_v2f"],
+        "efeature_f2v": batch["efeature_f2v"],
+        "efeature_v2f": batch["efeature_v2f"],
+    }
+
+
+def make_train_step(model: LDPCModel, tx):
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        inputs = _model_inputs(batch)
+        label = batch["label"][:, :N_INFO].astype(jnp.float32)
+        sigma_target = jnp.power(10.0, batch["sigma_b"].astype(jnp.float32) / 20.0)
+
+        def loss_fn(params):
+            (logits, sb_pred), upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                **inputs, train=True, mutable=["batch_stats"])
+            bce = optax.sigmoid_binary_cross_entropy(
+                logits.reshape(-1), label.reshape(-1)).mean()
+            mse = jnp.mean(jnp.square(sb_pred.reshape(-1) - sigma_target.reshape(-1)))
+            return bce + 0.1 * mse, (bce, mse, logits, upd["batch_stats"])
+
+        (loss, (bce, mse, logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(((logits > 0).astype(jnp.int32)
+                        == batch["label"][:, :N_INFO]).astype(jnp.float32))
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            gcnt=state.gcnt + 1)
+        return new_state, {"loss": bce, "sigma_b_loss": mse, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(model: LDPCModel):
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        (logits, _) = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            **_model_inputs(batch), train=False)
+        return (logits >= 0).astype(jnp.int32)
+
+    return eval_step
+
+
+def train(args, model, writer, model_dir):
+    dataset = ContinuousCodesSP(length=args.samples_per_epoch, snr=args.snr,
+                                seed=args.seed)
+    sample_batch = next(dataset.batches(args.batch_size))
+    state, tx = create_state(model, sample_batch, seed=args.seed)
+    train_step = make_train_step(model, tx)
+    sched = Schedules.ldpc()
+
+    start_epoch = 0
+    ckpt_path = os.path.join(model_dir, "ldpc_latest.ckpt")
+    if args.model_path and os.path.exists(args.model_path):
+        state, start_epoch, _ = load_checkpoint(args.model_path, state)
+
+    steps_per_epoch = args.steps_per_epoch or (len(dataset) // args.batch_size)
+    logging.info("training: %d epochs x %d steps", args.n_epochs, steps_per_epoch)
+
+    for epoch in range(start_epoch, args.n_epochs):
+        state = state.replace(opt_state=set_lr(state.opt_state,
+                                               1e-2 * sched(epoch)))
+        t0 = time.time()
+        metrics_acc = []
+        for bcnt, batch in enumerate(dataset.batches(args.batch_size)):
+            if bcnt >= steps_per_epoch:
+                break
+            state, m = train_step(state, batch)
+            metrics_acc.append(jax.device_get(m))
+            gcnt = int(state.gcnt)
+            if gcnt % 10 == 0:
+                mm = {k: float(np.mean([x[k] for x in metrics_acc]))
+                      for k in metrics_acc[0]}
+                metrics_acc = []
+                writer.add_scalar("syn_train/loss", mm["loss"], gcnt)
+                writer.add_scalar("syn_train/sigma_b_loss", mm["sigma_b_loss"], gcnt)
+                writer.add_scalar("syn_train/acc", mm["acc"], gcnt)
+                logging.info("epoch=%d bcnt=%d loss=%.4f acc=%.4f",
+                             epoch, bcnt, mm["loss"], mm["acc"])
+        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+        save_checkpoint(ckpt_path, state, epoch + 1)
+    save_checkpoint(os.path.join(model_dir, "ldpc_final.ckpt"), state,
+                    args.n_epochs)
+    return state
+
+
+def evaluate(args, model, state=None):
+    """BER matrix eval (train_ldpc.py:262-327)."""
+    if not os.path.exists(args.test_path):
+        logging.info("generating eval set at %s", args.test_path)
+        generate_eval_set(args.test_path, n_per_cell=args.eval_per_cell,
+                          with_bp_error=args.eval_bp_baseline)
+    ds = Codes(args.test_path)
+    if state is None:
+        sample = next(ds.batches(args.batch_size))
+        state, _ = create_state(model, sample)
+        state, _, _ = load_checkpoint(args.model_path, state)
+    eval_step = make_eval_step(model)
+
+    snrs, sbs = [0, 1, 2, 3, 4], [0, 1, 2, 3, 4, 5]
+    acc_cnt = np.zeros((len(snrs), len(sbs)))
+    acc_tot = np.zeros((len(snrs), len(sbs)))
+    correct = 0
+    total = 0
+    for batch in ds.batches(args.batch_size):
+        pred = np.asarray(eval_step(state, batch))
+        label = batch["label"][:, :N_INFO]
+        snr = batch["snr_db"]
+        sb = batch["sigma_b"]
+        for i, s in enumerate(snrs):
+            for j, b in enumerate(sbs):
+                sel = (np.abs(snr - s) < 1e-3) & (sb.astype(int) == b)
+                acc_cnt[i, j] += np.sum(pred[sel, :N_INFO] == label[sel])
+                acc_tot[i, j] += sel.sum() * N_INFO
+        correct += np.sum(pred[:, :N_INFO] == label)
+        total += label.size
+    ber_total = 1.0 - correct / max(total, 1)
+    err = 1.0 - np.divide(acc_cnt, np.maximum(acc_tot, 1))
+    print(ber_total)
+    print(np.array_str(err, precision=4, suppress_small=True))
+    data = dict(np.load(args.test_path))
+    if "bp_err_matrix" in data and data["bp_err_matrix"].any():
+        print("sum-product baseline:")
+        print(np.array_str(data["bp_err_matrix"], precision=4,
+                           suppress_small=True))
+    return ber_total, err
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="fgnn_tpu LDPC trainer")
+    p.add_argument("--n-epochs", "--n_epochs", type=int, default=10)
+    p.add_argument("--model-path", "--model_path", type=str, default="")
+    p.add_argument("--model-name", "--model_name", type=str, default="FactorNN")
+    p.add_argument("--snr", type=int, default=None)
+    p.add_argument("--test-path", "--test_path", type=str,
+                   default="dataset/ldpc_valid.npz")
+    p.add_argument("--train", action="store_true", default=False)
+    p.add_argument("--batch-size", "--batch_size", type=int, default=32)
+    p.add_argument("--aggregator", type=str, default="max")
+    p.add_argument("--samples-per-epoch", type=int, default=10000)
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="override for smoke tests")
+    p.add_argument("--eval-per-cell", type=int, default=1000)
+    p.add_argument("--eval-bp-baseline", type=lambda s: s != "0", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--work-dir", type=str, default="runs")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model = LDPCModel(aggregator=args.aggregator)
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    subdir = f"ldpc_{args.model_name}_snr_{args.snr}_at_{stamp}"
+    work = os.path.join(args.work_dir, subdir)
+    init_logger(os.path.join(work, "logs"), "train", print_log=True)
+    logging.info("%s", args)
+    if args.train:
+        writer = MetricsWriter(os.path.join(work, "tf_logs"))
+        state = train(args, model, writer, work)
+        writer.close()
+    else:
+        evaluate(args, model)
+
+
+if __name__ == "__main__":
+    main()

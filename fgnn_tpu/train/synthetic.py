@@ -1,0 +1,223 @@
+"""Synthetic chain-MRF MAP trainers (the three train_syn_* references).
+
+One engine, three workloads:
+  * fixed — SynFixedModel over the variable chain (train_syn_fixed_pw_hop.py)
+  * pw    — SynPwFactorModel, learned pairwise factors (train_syn_pw_factor.py)
+  * hop   — SynHopFactorModel, learned pairwise + budget factors
+            (train_syn_hop_factor.py)
+
+Hyperparameters match the reference: Adam lr 3e-3, per-epoch LR x0.98,
+grad-clip 1.0, CE loss over 2 classes, batch 32, accuracy reported against
+the exact MAP labels with the LP-relaxation accuracy as the running
+baseline.  Data is generated on the fly (the AD3 oracle is replaced by the
+exact DP in fgnn_tpu.data.rpgm_oracle) or streamed from .npz shards
+written by fgnn_tpu.data.generate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import (
+    RandomPGM,
+    RandomPGMHop,
+    RandomPGMPw,
+    batches,
+    chain_knn_table,
+    global_factor_table,
+    high_factor_table,
+    pw_factor_table,
+)
+from ..models.synthetic import SynFixedModel, SynHopFactorModel, SynPwFactorModel
+from ..utils import MetricsWriter, init_logger
+from .common import (
+    Schedules,
+    TrainState,
+    load_checkpoint,
+    make_optimizer,
+    save_checkpoint,
+    set_lr,
+)
+
+
+class SynWorkload:
+    """Bundles model, static graph tables, and input packing per workload."""
+
+    def __init__(self, workload: str, args):
+        L = args.chain_length
+        self.workload = workload
+        dims = getattr(args, "dims", None)  # None -> reference FMPNN_DIMS
+        dim_kw = {"dims": tuple(dims)} if dims else {}
+        if workload == "fixed":
+            self.model = SynFixedModel(variant=args.model_name)
+            nn_idx, ef = chain_knn_table(L, args.neighbour)
+            self.static = {"nn_idx": jnp.asarray(nn_idx),
+                           "efeature": jnp.asarray(ef)}
+            self.dataset = RandomPGM(L, args.hop_cap, hop_order=args.hop_order,
+                                     seed=args.seed)
+        elif workload == "pw":
+            self.model = SynPwFactorModel(**dim_kw)
+            nn_pw, ef_pw = pw_factor_table(L)
+            nn_high, ef_high, _ = global_factor_table(L, args.neighbour)
+            self.static = {
+                "nn_idx_pw": jnp.asarray(nn_pw), "ef_pw": jnp.asarray(ef_pw),
+                "nn_idx_high": jnp.asarray(nn_high),
+                "ef_high": jnp.asarray(ef_high),
+            }
+            self.dataset = RandomPGMPw(L, args.hop_cap, hop_order=args.hop_order,
+                                       ret_efeature=False, seed=args.seed)
+        elif workload == "hop":
+            self.model = SynHopFactorModel(hop_order=args.hop_order, **dim_kw)
+            nn_pw, ef_pw = pw_factor_table(L)
+            nn_high, ef_high = high_factor_table(L, args.hop_order)
+            self.static = {
+                "nn_idx_pw": jnp.asarray(nn_pw), "ef_pw": jnp.asarray(ef_pw),
+                "nn_idx_high": jnp.asarray(nn_high),
+                "ef_high": jnp.asarray(ef_high),
+            }
+            self.dataset = RandomPGMHop(L, hop_order=args.hop_order,
+                                        ret_efeature_pw=False, seed=args.seed)
+        else:
+            raise ValueError(workload)
+
+    def model_inputs(self, batch: dict) -> dict:
+        if self.workload == "fixed":
+            return {"node_feature": batch["node_feature"], **self.static}
+        if self.workload == "pw":
+            return {"node_feature": batch["node_feature"],
+                    "pws": batch["pws"], **self.static}
+        return {"node_feature": batch["node_feature"], "pws": batch["pws"],
+                "hops": batch["efeature_hop"], **self.static}
+
+
+def create_state(wl: SynWorkload, sample_batch: dict, seed: int,
+                 base_lr: float = 3e-3):
+    variables = wl.model.init(jax.random.PRNGKey(seed),
+                              **wl.model_inputs(sample_batch), train=True)
+    tx = make_optimizer(base_lr, clip_norm=1.0)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        gcnt=jnp.asarray(0, jnp.int32),
+    ), tx
+
+
+def make_train_step(wl: SynWorkload, tx):
+    @jax.jit
+    def step(state: TrainState, batch: dict):
+        inputs = wl.model_inputs(batch)
+        labels = batch["label"]
+
+        def loss_fn(params):
+            logits, upd = wl.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                **inputs, train=True, mutable=["batch_stats"])
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, 2), labels.reshape(-1)).mean()
+            return ce, (logits, upd["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        lp_acc = jnp.mean((batch["lp_label"] == labels).astype(jnp.float32))
+        return state.replace(params=new_params, batch_stats=new_stats,
+                             opt_state=new_opt, gcnt=state.gcnt + 1), \
+            {"loss": loss, "acc": acc, "lp_acc": lp_acc}
+
+    return step
+
+
+def make_eval_step(wl: SynWorkload):
+    @jax.jit
+    def step(state: TrainState, batch: dict):
+        logits = wl.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            **wl.model_inputs(batch), train=False)
+        return jnp.argmax(logits, -1)
+
+    return step
+
+
+def train_and_eval(workload: str, args):
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    work = os.path.join(args.work_dir,
+                        f"syn_{workload}_{args.model_name}_at_{stamp}")
+    init_logger(os.path.join(work, "logs"), "train", print_log=True)
+    logging.info("%s", args)
+    writer = MetricsWriter(os.path.join(work, "tf_logs"))
+
+    wl = SynWorkload(workload, args)
+    steps_per_epoch = args.train_size // args.batch_size
+    sample = next(batches(wl.dataset, args.batch_size, 1))
+    state, tx = create_state(wl, sample, args.seed)
+    train_step = make_train_step(wl, tx)
+    sched = Schedules.exp_decay(0.98)
+
+    start_epoch = 0
+    if args.model_path and os.path.exists(args.model_path):
+        state, start_epoch, _ = load_checkpoint(args.model_path, state)
+
+    for epoch in range(start_epoch, args.train_epoches):
+        state = state.replace(
+            opt_state=set_lr(state.opt_state, 3e-3 * sched(epoch)))
+        t0 = time.time()
+        acc_m = []
+        for bcnt, batch in enumerate(
+                batches(wl.dataset, args.batch_size, steps_per_epoch)):
+            state, m = train_step(state, batch)
+            acc_m.append(jax.device_get(m))
+            if int(state.gcnt) % 10 == 0:
+                mm = {k: float(np.mean([x[k] for x in acc_m])) for k in acc_m[0]}
+                acc_m = []
+                for k, v in mm.items():
+                    writer.add_scalar(f"syn_train/{k}", v, int(state.gcnt))
+                logging.info("epoch=%d bcnt=%d %s", epoch, bcnt,
+                             {k: round(v, 4) for k, v in mm.items()})
+        save_checkpoint(os.path.join(work, "latest.ckpt"), state, epoch + 1)
+        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+
+    # ---- test ----
+    eval_step = make_eval_step(wl)
+    eval_batches = max(args.test_size // args.batch_size, 1)
+    accs, lp_accs = [], []
+    for batch in batches(wl.dataset, args.batch_size, eval_batches):
+        pred = np.asarray(eval_step(state, batch))
+        accs.append((pred == batch["label"]).mean())
+        lp_accs.append((batch["lp_label"] == batch["label"]).mean())
+    acc, lp_acc = float(np.mean(accs)), float(np.mean(lp_accs))
+    logging.info("testing result: acc = %.4f, acc_lp = %.4f", acc, lp_acc)
+    writer.add_scalar("syn_test/acc", acc, int(state.gcnt))
+    writer.add_scalar("syn_test/lp_acc", lp_acc, int(state.gcnt))
+    writer.close()
+    return acc, lp_acc
+
+
+def parse_args(argv=None, workload: str = "fixed"):
+    p = argparse.ArgumentParser(description=f"fgnn_tpu synthetic trainer ({workload})")
+    p.add_argument("--chain-length", "--chain_length", type=int, default=30)
+    p.add_argument("--hop-cap", "--hop_cap", type=int, default=5)
+    p.add_argument("--hop-order", "--hop_order", type=int, default=9)
+    p.add_argument("--train-epoches", "--train_epoches", type=int, default=10)
+    p.add_argument("--model-path", "--model_path", type=str, default="")
+    p.add_argument("--model-name", "--model_name", type=str,
+                   default="mp_nn" if workload == "fixed" else "mp_nn_factor")
+    p.add_argument("--neighbour", type=int, default=8)
+    p.add_argument("--train-size", "--train_size", type=int, default=90000)
+    p.add_argument("--test-size", "--test_size", type=int, default=10000)
+    p.add_argument("--batch-size", "--batch_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--work-dir", type=str, default="runs")
+    return p.parse_args(argv)
