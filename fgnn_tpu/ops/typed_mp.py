@@ -29,11 +29,25 @@ for the extensions) where column index = c_out * T + t (mp_nn.py:128-134).
 from __future__ import annotations
 
 import enum
+import os
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Fused Pallas path for the NO_EXTENSION hot configuration.  Enabled by
+# default on TPU backends; force with FGNN_USE_PALLAS=1/0.
+_PALLAS_ENV = os.environ.get("FGNN_USE_PALLAS")
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_ENV is not None:
+        return _PALLAS_ENV == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 class Extension(enum.Enum):
@@ -106,6 +120,18 @@ def typed_mp_conv(
         # rows — cheaper than per-edge matmuls whenever K > 1, and the same
         # contraction order as the reference (mp_nn.py:124-134).
         h = jnp.matmul(x, filters.astype(dtype), precision=precision)
+
+        if _use_pallas() and aggregator in ("max", "mean", "sum"):
+            from .pallas_mp import fused_available, fused_gather_mix_aggregate
+
+            if fused_available(h.shape, jnp.shape(nn_idx), aggregator):
+                out = fused_gather_mix_aggregate(
+                    h, nn_idx.astype(jnp.int32), etype.astype(dtype),
+                    nout, T, aggregator)
+                if bias is not None:
+                    out = out + bias.astype(dtype)
+                return out
+
         h = h.reshape(*h.shape[:-1], nout, T)
         hg = gather_nodes(h.reshape(*h.shape[:-2], nout * T), nn_idx)
         hg = hg.reshape(*hg.shape[:-1], nout, T)

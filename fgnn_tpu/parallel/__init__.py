@@ -5,8 +5,9 @@ from .sharding import (
     replicate,
     batch_sharding,
 )
+from .edge_partition import pad_edges, partitioned_typed_mp_coo
 
 __all__ = [
     "make_mesh", "local_mesh", "shard_batch", "shard_params", "replicate",
-    "batch_sharding",
+    "batch_sharding", "pad_edges", "partitioned_typed_mp_coo",
 ]
