@@ -30,6 +30,11 @@ def main():
 
     batch_size = int(os.environ.get("FGNN_BENCH_BATCH", "256"))
     iters = int(os.environ.get("FGNN_BENCH_ITERS", "20"))
+    if os.environ.get("FGNN_BENCH_BF16") == "1":
+        import jax.numpy as jnp
+        from fgnn_tpu.models.policy import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16)
 
     ds = ContinuousCodesSP(length=batch_size, seed=0)
     batch = next(ds.batches(batch_size))

@@ -4,6 +4,7 @@ from .bp_ref import BPGraph, bp_decode, decode_posteriors
 from .ldpc_graph import LDPCStructure, default_structure
 from .ldpc_datasets import (
     ContinuousCodesSP,
+    ContinuousCodesJoint,
     Codes,
     decode_graph,
     gen_sample,
@@ -29,6 +30,7 @@ from .tables import (
     high_factor_table,
     global_factor_table,
 )
+from .loader import Prefetcher, prefetch, PoolBatcher
 from . import ldpc_cpp
 
 __all__ = [
@@ -36,7 +38,7 @@ __all__ = [
     "encode", "channel", "posteriors", "snr_amplitude",
     "BPGraph", "bp_decode", "decode_posteriors",
     "LDPCStructure", "default_structure",
-    "ContinuousCodesSP", "Codes", "decode_graph", "gen_sample",
+    "ContinuousCodesSP", "ContinuousCodesJoint", "Codes", "decode_graph", "gen_sample",
     "generate_eval_set", "sample_to_features",
     "map_chain_budget", "brute_force_chain_budget",
     "lp_relaxation_chain_budget",
@@ -44,5 +46,6 @@ __all__ = [
     "RandomPGMHop", "batches",
     "chain_knn_table", "pw_factor_table", "high_factor_table",
     "global_factor_table",
+    "Prefetcher", "prefetch", "PoolBatcher",
     "ldpc_cpp",
 ]

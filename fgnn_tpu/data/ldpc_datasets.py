@@ -116,6 +116,51 @@ class ContinuousCodesSP:
             yield _stack([self.sample() for _ in range(batch_size)])
 
 
+@dataclass
+class ContinuousCodesJoint:
+    """On-the-fly JOINT-graph LDPC batches for the concat (FactorMPNN)
+    formulation (ContinusCodesBasic/ContinusCodes equivalent,
+    ldpc_dataset.py:159-206): the [96 vars ; 48 checks] padded table with
+    2-channel side flags and 7-dim per-edge features."""
+
+    length: int = 10000
+    sigma_b_choices: tuple = (0, 1, 2, 3, 4, 5)
+    snr_choices: tuple = (0, 1, 2, 3, 4)
+    burst_prob: float = 0.05
+    seed: Optional[int] = None
+
+    def __post_init__(self):
+        self.structure = default_structure()
+        self.rng = np.random.RandomState(self.seed)
+
+    def __len__(self):
+        return self.length
+
+    def sample(self):
+        sigma_b = self.rng.choice(self.sigma_b_choices)
+        snr_db = self.rng.choice(self.snr_choices)
+        y, codeword = gen_sample(snr_db, sigma_b, burst_prob=self.burst_prob,
+                                 rng=self.rng)
+        nn_idx, etype, efeature, hop = self.structure.joint_features(y)
+        node_feature = np.stack(
+            [y, np.full_like(y, float(snr_db))], axis=-1).astype(np.float32)
+        return {
+            "node_feature": node_feature,            # (96, 2)
+            "hop_feature": hop.astype(np.float32),   # (48, 6)
+            "nn_idx": nn_idx.astype(np.int32),       # (144, 6)
+            "etype": etype,                          # (144, 6, 2)
+            "efeature": efeature,                    # (144, 6, 7)
+            "label": codeword.astype(np.int32),
+            "sigma_b": np.float32(sigma_b),
+            "snr_db": np.float32(snr_db),
+        }
+
+    def batches(self, batch_size: int) -> Iterator[dict]:
+        nb = self.length // batch_size
+        for _ in range(nb):
+            yield _stack([self.sample() for _ in range(batch_size)])
+
+
 def generate_eval_set(path: str, n_per_cell: int = 1000,
                       snrs=(0, 1, 2, 3, 4), sigma_bs=(0, 1, 2, 3, 4, 5),
                       burst_prob: float = 0.05, seed: int = 0,

@@ -55,6 +55,9 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from .policy import cast_compute
+
+        x = cast_compute(x)
         fan_in = x.shape[-1]
         kernel = self.param(
             "kernel", lambda k, s: torch_kaiming_uniform(k, s), (fan_in, self.features)
@@ -97,8 +100,9 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+            xf = x.astype(jnp.float32)  # stats always in f32 (bf16 policy safe)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]
@@ -121,9 +125,10 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=-2, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-2, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = x.astype(jnp.float32)  # stats always in f32 (bf16 policy safe)
+        mean = jnp.mean(xf, axis=-2, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-2, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
 def leaky_relu(x, negative_slope: float = 0.01):

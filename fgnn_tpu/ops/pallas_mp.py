@@ -14,15 +14,17 @@ VMEM-resident pass per batch element:
 
   * the gather runs as K one-hot matmuls on the MXU
     (one_hot(nn_idx[:, k]) @ h) — gather and layout change in one op;
-  * the T-contraction with etype and the K-aggregation stay in VMEM;
-    only (N_dst, C) leaves the kernel (plus an argmax map for the VJP).
+  * h is fed in T-MAJOR column layout (t*C + c) so the T-contraction with
+    etype is K*T lane-contiguous slice-multiply-accumulates (VPU), no 3D
+    relayout inside the kernel;
+  * only (N_dst, C) leaves the kernel (plus an argmax map for the VJP).
 
 A custom VJP keeps training on the fused forward; the backward is an XLA
 program whose gathers are K-sliced, so nothing bigger than
 (B, N_dst, C*T) is materialized.
 
 Constraints (checked by :func:`fused_available`): NO_EXTENSION, shared
-(non-batched) nn_idx, K <= 16, aggregator in {max, mean, sum}, and blocks
+(non-batched) nn_idx, K <= 16, aggregator in {max, mean, sum}, blocks
 fitting VMEM.  ops/typed_mp.py remains the general fallback.
 """
 
@@ -49,61 +51,84 @@ def _supported(h_shape, nn_idx_shape, aggregator: str) -> bool:
     Nd, K = nn_idx_shape
     if K > 16:
         return False
-    need = (Ns * CT + Nd * K * 8 + 2 * Nd * (CT // max(K, 1))) * 4
+    need = (Ns * CT + Nd * K * 8 + 3 * Nd * (CT // max(K, 1))) * 4
     return need < _VMEM_BUDGET
 
 
+def _batch_tile(B: int, Ns: int, CT: int) -> int:
+    """Rows of the batch per program: amortize launch overhead while
+    keeping h/out blocks within the VMEM budget."""
+    import os
+
+    per_row = (Ns * CT + 3 * (CT // 4) * 4) * 4  # rough bytes per batch row
+    g = max(1, int(_VMEM_BUDGET * 0.5) // max(per_row, 1))
+    g = min(g, B, int(os.environ.get("FGNN_PALLAS_BATCH_TILE", "1")))
+    while B % g:
+        g -= 1
+    return g
+
+
 def _fused_fwd_pallas(h, nn_idx, etype, C: int, T: int, aggregator: str):
-    """h (B, Ns, C*T) f32, nn_idx (Nd, K) int32, etype (B, Nd, K, T) f32
-    -> (out (B, Nd, C), argmax (B, Nd, C) int32)."""
+    """h (B, Ns, C*T) [c-major: c*T+t], nn_idx (Nd, K) int32,
+    etype (B, Nd, K, T) -> (out (B, Nd, C), argmax (B, Nd, C) int32)."""
     B, Ns, CT = h.shape
     Nd, K = nn_idx.shape
     assert CT == C * T, (CT, C, T)
+    # convert h columns to t-major (t*C + c) for lane-contiguous slicing
+    h_t = h.reshape(B, Ns, C, T).transpose(0, 1, 3, 2).reshape(B, Ns, CT)
     et2 = etype.reshape(B, Nd, K * T)
+    G = _batch_tile(B, Ns, CT)
 
     def kernel(idx_ref, h_ref, et_ref, out_ref, amax_ref):
-        h_b = h_ref[0]                       # (Ns, C*T)
-        et_b = et_ref[0]                     # (Nd, K*T)
         src_iota = jax.lax.broadcasted_iota(jnp.int32, (Nd, Ns), 1)
-        acc = jnp.zeros((Nd, C), jnp.float32)
-        amax = jnp.zeros((Nd, C), jnp.int32)
-        for k in range(K):
-            idx_k = idx_ref[:, k][:, None]                 # (Nd, 1)
-            onehot = (src_iota == idx_k).astype(h_b.dtype)  # (Nd, Ns)
-            g = jnp.dot(onehot, h_b,
-                        preferred_element_type=jnp.float32)  # (Nd, C*T)
-            g = g.reshape(Nd, C, T)
-            w = et_b[:, k * T:(k + 1) * T].reshape(Nd, 1, T)
-            m = jnp.sum(g * w.astype(jnp.float32), axis=-1)  # (Nd, C)
-            if aggregator == "max":
-                if k == 0:
-                    acc = m
+        # one-hot gather matrices are shared across the G batch rows
+        onehots = [
+            (src_iota == idx_ref[:, k][:, None]).astype(h_ref.dtype)
+            for k in range(K)
+        ]
+        for g in range(G):
+            h_b = h_ref[g]                   # (Ns, T*C), t-major
+            et_b = et_ref[g]                 # (Nd, K*T)
+            acc = jnp.zeros((Nd, C), jnp.float32)
+            amax = jnp.zeros((Nd, C), jnp.int32)
+            for k in range(K):
+                gk = jnp.dot(onehots[k], h_b,
+                             preferred_element_type=jnp.float32)  # (Nd, T*C)
+                m = jnp.zeros((Nd, C), jnp.float32)
+                for t in range(T):
+                    w = et_b[:, k * T + t][:, None].astype(jnp.float32)
+                    m = m + w * gk[:, t * C:(t + 1) * C]
+                if aggregator == "max":
+                    if k == 0:
+                        acc = m
+                    else:
+                        take = m > acc
+                        acc = jnp.where(take, m, acc)
+                        amax = jnp.where(take, k, amax)
                 else:
-                    take = m > acc
-                    acc = jnp.where(take, m, acc)
-                    amax = jnp.where(take, k, amax)
-            else:
-                acc = acc + m
-        if aggregator == "mean":
-            acc = acc / K
-        out_ref[0] = acc.astype(out_ref.dtype)
-        amax_ref[0] = amax
+                    acc = acc + m
+            if aggregator == "mean":
+                acc = acc / K
+            out_ref[g] = acc.astype(out_ref.dtype)
+            amax_ref[g] = amax
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Ns, CT), lambda b, idx: (b, 0, 0)),
-            pl.BlockSpec((1, Nd, K * T), lambda b, idx: (b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Nd, C), lambda b, idx: (b, 0, 0)),
-            pl.BlockSpec((1, Nd, C), lambda b, idx: (b, 0, 0)),
-        ],
-    )
     out, amax = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((Nd, K), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Ns, CT), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Nd, K * T), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, Nd, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Nd, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Nd, C), h.dtype),
             jax.ShapeDtypeStruct((B, Nd, C), jnp.int32),
@@ -113,7 +138,7 @@ def _fused_fwd_pallas(h, nn_idx, etype, C: int, T: int, aggregator: str):
             bytes_accessed=4 * B * (Ns * CT + Nd * K * T + 2 * Nd * C),
             transcendentals=0,
         ),
-    )(nn_idx, h, et2)
+    )(nn_idx, h_t, et2)
     return out, amax
 
 

@@ -45,7 +45,10 @@ def _use_pallas() -> bool:
     if _PALLAS_ENV is not None:
         return _PALLAS_ENV == "1"
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu":
+            return True
+        # TPU via a PJRT plugin under another name (e.g. the axon tunnel)
+        return "tpu" in jax.devices()[0].device_kind.lower()
     except Exception:  # pragma: no cover
         return False
 
@@ -119,7 +122,8 @@ def typed_mp_conv(
         # Transform at the source (N_src rows), then gather the (nout*T)-dim
         # rows — cheaper than per-edge matmuls whenever K > 1, and the same
         # contraction order as the reference (mp_nn.py:124-134).
-        h = jnp.matmul(x, filters.astype(dtype), precision=precision)
+        h = jnp.matmul(x, filters.astype(dtype), precision=precision,
+                       preferred_element_type=jnp.float32)
 
         if _use_pallas() and aggregator in ("max", "mean", "sum"):
             from .pallas_mp import fused_available, fused_gather_mix_aggregate
@@ -136,7 +140,8 @@ def typed_mp_conv(
         hg = gather_nodes(h.reshape(*h.shape[:-2], nout * T), nn_idx)
         hg = hg.reshape(*hg.shape[:-1], nout, T)
         msgs = jnp.einsum("bnkct,bnkt->bnkc", hg, etype.astype(dtype),
-                          precision=precision)
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
     else:
         # Edge input [x_i ; x_i - x_j] (DIFF) or [x_i ; x_j] (NEIGHBOR)
         # (mp_nn.py:136-159). Requires N_dst == N_src.
@@ -151,12 +156,14 @@ def typed_mp_conv(
         K = xg.shape[2]
         efeat = jnp.concatenate(
             [jnp.broadcast_to(xi, xg.shape), e], axis=-1)  # (B, N, K, 2C)
-        h = jnp.matmul(efeat, filters.astype(dtype), precision=precision)
+        h = jnp.matmul(efeat, filters.astype(dtype), precision=precision,
+                       preferred_element_type=jnp.float32)
         h = h.reshape(*h.shape[:-1], nout, T)             # (B, N, K, nout, T)
         msgs = jnp.einsum("bnkct,bnkt->bnkc", h, etype.astype(dtype),
-                          precision=precision)
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
 
     out = aggregate(msgs, aggregator, gamma)
     if bias is not None:
-        out = out + bias.astype(dtype)
+        out = out + bias.astype(out.dtype)
     return out

@@ -54,11 +54,19 @@ def create_state(model: LDPCModel, sample_batch: dict, seed: int = 0,
 
 
 def _model_inputs(batch: dict) -> dict:
+    # The 96.3.963 incidence tables are the same for every sample; pass them
+    # SHARED (2D) so the gather has no batch dim and the fused Pallas path
+    # can engage (ops/pallas_mp.py requires a shared table).
+    nn_f2v = batch["nn_idx_f2v"]
+    nn_v2f = batch["nn_idx_v2f"]
+    if hasattr(nn_f2v, "ndim") and nn_f2v.ndim == 3:
+        nn_f2v = nn_f2v[0]
+        nn_v2f = nn_v2f[0]
     return {
         "node_feature": batch["node_feature"],
         "hop_feature": batch["hop_feature"],
-        "nn_idx_f2v": batch["nn_idx_f2v"],
-        "nn_idx_v2f": batch["nn_idx_v2f"],
+        "nn_idx_f2v": nn_f2v,
+        "nn_idx_v2f": nn_v2f,
         "efeature_f2v": batch["efeature_f2v"],
         "efeature_v2f": batch["efeature_v2f"],
     }
@@ -126,7 +134,9 @@ def train(args, model, writer, model_dir):
                                                1e-2 * sched(epoch)))
         t0 = time.time()
         metrics_acc = []
-        for bcnt, batch in enumerate(dataset.batches(args.batch_size)):
+        from ..data import prefetch
+
+        for bcnt, batch in enumerate(prefetch(dataset.batches(args.batch_size))):
             if bcnt >= steps_per_epoch:
                 break
             state, m = train_step(state, batch)

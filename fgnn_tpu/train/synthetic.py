@@ -175,8 +175,10 @@ def train_and_eval(workload: str, args):
             opt_state=set_lr(state.opt_state, 3e-3 * sched(epoch)))
         t0 = time.time()
         acc_m = []
+        from ..data import prefetch
+
         for bcnt, batch in enumerate(
-                batches(wl.dataset, args.batch_size, steps_per_epoch)):
+                prefetch(batches(wl.dataset, args.batch_size, steps_per_epoch))):
             state, m = train_step(state, batch)
             acc_m.append(jax.device_get(m))
             if int(state.gcnt) % 10 == 0:
