@@ -62,7 +62,7 @@ def _batch_tile(B: int, Ns: int, CT: int) -> int:
 
     per_row = (Ns * CT + 3 * (CT // 4) * 4) * 4  # rough bytes per batch row
     g = max(1, int(_VMEM_BUDGET * 0.5) // max(per_row, 1))
-    g = min(g, B, int(os.environ.get("FGNN_PALLAS_BATCH_TILE", "1")))
+    g = min(g, B, int(os.environ.get("FGNN_PALLAS_BATCH_TILE", "4")))
     while B % g:
         g -= 1
     return g

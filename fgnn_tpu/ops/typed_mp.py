@@ -130,7 +130,7 @@ def typed_mp_conv(
 
             if fused_available(h.shape, jnp.shape(nn_idx), aggregator):
                 out = fused_gather_mix_aggregate(
-                    h, nn_idx.astype(jnp.int32), etype.astype(dtype),
+                    h, nn_idx.astype(jnp.int32), etype.astype(h.dtype),
                     nout, T, aggregator)
                 if bias is not None:
                     out = out + bias.astype(dtype)
