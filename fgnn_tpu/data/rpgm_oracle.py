@@ -120,6 +120,44 @@ def brute_force_chain_budget(lops, pws, caps, hop_order=9):
     return np.asarray(best_x, np.int8), float(best)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _lp_matrices(L: int, hop_order: int):
+    """Fixed constraint structure for chain length L, window hop_order:
+    (A_eq csr, b_eq, A_ub csr | None).  Only the objective and the budget
+    RHS vary per sample."""
+    from scipy.sparse import lil_matrix
+
+    nE = L - 1
+    nvar = L + 4 * nE  # mu_i, then nu_e(a,b) flattened (a*2+b)
+    n_windows = max(L - hop_order + 1, 0)
+
+    # Equalities: for each edge e=(i,i+1):
+    #   nu(1,0)+nu(1,1) = mu_i ; nu(0,1)+nu(1,1) = mu_{i+1} ; sum nu = 1
+    A_eq = lil_matrix((3 * nE, nvar))
+    b_eq = np.zeros(3 * nE)
+    for e in range(nE):
+        r = 3 * e
+        A_eq[r, L + 4 * e + 2] = 1.0
+        A_eq[r, L + 4 * e + 3] = 1.0
+        A_eq[r, e] = -1.0
+        A_eq[r + 1, L + 4 * e + 1] = 1.0
+        A_eq[r + 1, L + 4 * e + 3] = 1.0
+        A_eq[r + 1, e + 1] = -1.0
+        A_eq[r + 2, L + 4 * e: L + 4 * e + 4] = 1.0
+        b_eq[r + 2] = 1.0
+
+    A_ub = None
+    if n_windows:
+        A_ub = lil_matrix((n_windows, nvar))
+        for w in range(n_windows):
+            A_ub[w, w: w + hop_order] = 1.0
+        A_ub = A_ub.tocsr()
+    return A_eq.tocsr(), b_eq, A_ub
+
+
 def lp_relaxation_chain_budget(lops, pws, caps, hop_order: int = 9):
     """Local-polytope LP relaxation; returns (argmax label (L,), mu1 (L,)).
 
@@ -128,7 +166,6 @@ def lp_relaxation_chain_budget(lops, pws, caps, hop_order: int = 9):
     sum over each budget window of mu <= cap.
     """
     from scipy.optimize import linprog
-    from scipy.sparse import lil_matrix
 
     lops = np.asarray(lops, np.float64)
     L = lops.shape[0]
@@ -142,43 +179,17 @@ def lp_relaxation_chain_budget(lops, pws, caps, hop_order: int = 9):
         caps_arr = np.asarray(caps, np.int64)[:n_windows]
 
     nE = L - 1
-    nvar = L + 4 * nE  # mu_i, then nu_e(a,b) flattened (a*2+b)
-
+    nvar = L + 4 * nE
     c = np.zeros(nvar)
     # maximize => minimize -obj.  Unary: lops[i,0]*(1-mu) + lops[i,1]*mu
-    const = lops[:, 0].sum()
     c[:L] = -(lops[:, 1] - lops[:, 0])
-    for e in range(nE):
-        for a in (0, 1):
-            for b in (0, 1):
-                c[L + 4 * e + a * 2 + b] = -pws[e][a, b]
+    c[L:] = -pws.reshape(nE, 4).reshape(-1)
 
-    # Equalities: for each edge e=(i,i+1):
-    #   nu(1,0)+nu(1,1) = mu_i ; nu(0,1)+nu(1,1) = mu_{i+1} ; sum nu = 1
-    A_eq = lil_matrix((3 * nE, nvar))
-    b_eq = np.zeros(3 * nE)
-    for e in range(nE):
-        i = e
-        r = 3 * e
-        A_eq[r, L + 4 * e + 2] = 1.0
-        A_eq[r, L + 4 * e + 3] = 1.0
-        A_eq[r, i] = -1.0
-        A_eq[r + 1, L + 4 * e + 1] = 1.0
-        A_eq[r + 1, L + 4 * e + 3] = 1.0
-        A_eq[r + 1, i + 1] = -1.0
-        A_eq[r + 2, L + 4 * e: L + 4 * e + 4] = 1.0
-        b_eq[r + 2] = 1.0
+    A_eq, b_eq, A_ub = _lp_matrices(L, hop_order)
+    b_ub = caps_arr.astype(np.float64) if n_windows else None
 
-    # Budget inequalities
-    A_ub = lil_matrix((n_windows, nvar))
-    b_ub = caps_arr.astype(np.float64)
-    for w in range(n_windows):
-        A_ub[w, w: w + hop_order] = 1.0
-
-    res = linprog(
-        c, A_ub=A_ub.tocsr() if n_windows else None,
-        b_ub=b_ub if n_windows else None,
-        A_eq=A_eq.tocsr(), b_eq=b_eq, bounds=(0, 1), method="highs")
+    res = linprog(c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+                  bounds=(0, 1), method="highs")
     if not res.success:  # pragma: no cover
         raise RuntimeError(f"LP failed: {res.message}")
     mu1 = res.x[:L]

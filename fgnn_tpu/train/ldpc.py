@@ -43,7 +43,10 @@ N_INFO = 48
 def create_state(model: LDPCModel, sample_batch: dict, seed: int = 0,
                  base_lr: float = 1e-2):
     inputs = _model_inputs(sample_batch)
-    variables = model.init(jax.random.PRNGKey(seed), **inputs, train=True)
+    # jit the init: eager init dispatches hundreds of tiny ops, which is
+    # pathological over a remote-device transport
+    variables = jax.jit(partial(model.init, train=True))(
+        jax.random.PRNGKey(seed), **inputs)
     tx = make_optimizer(base_lr, weight_decay=1e-8)
     return TrainState(
         params=variables["params"],

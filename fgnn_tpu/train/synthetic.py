@@ -102,8 +102,10 @@ class SynWorkload:
 
 def create_state(wl: SynWorkload, sample_batch: dict, seed: int,
                  base_lr: float = 3e-3):
-    variables = wl.model.init(jax.random.PRNGKey(seed),
-                              **wl.model_inputs(sample_batch), train=True)
+    from functools import partial
+
+    variables = jax.jit(partial(wl.model.init, train=True))(
+        jax.random.PRNGKey(seed), **wl.model_inputs(sample_batch))
     tx = make_optimizer(base_lr, clip_norm=1.0)
     return TrainState(
         params=variables["params"],
@@ -163,6 +165,19 @@ def train_and_eval(workload: str, args):
     steps_per_epoch = args.train_size // args.batch_size
     sample = next(batches(wl.dataset, args.batch_size, 1))
     state, tx = create_state(wl, sample, args.seed)
+
+    # multiprocess sample synthesis (the exact DP + LP oracles are
+    # host-CPU-bound; the reference used 8-24 DataLoader workers)
+    workers = getattr(args, "workers", 0)
+    if workers:
+        from ..data.loader import PoolBatcher
+
+        ds_for_pool = wl.dataset
+        pool = PoolBatcher(lambda d=ds_for_pool: d, args.batch_size,
+                           n_workers=workers, seed=args.seed)
+        batch_source = lambda n: pool.batches(n)  # noqa: E731
+    else:
+        batch_source = lambda n: batches(wl.dataset, args.batch_size, n)  # noqa: E731
     train_step = make_train_step(wl, tx)
     sched = Schedules.exp_decay(0.98)
 
@@ -177,8 +192,7 @@ def train_and_eval(workload: str, args):
         acc_m = []
         from ..data import prefetch
 
-        for bcnt, batch in enumerate(
-                prefetch(batches(wl.dataset, args.batch_size, steps_per_epoch))):
+        for bcnt, batch in enumerate(prefetch(batch_source(steps_per_epoch))):
             state, m = train_step(state, batch)
             acc_m.append(jax.device_get(m))
             if int(state.gcnt) % 10 == 0:
@@ -195,7 +209,7 @@ def train_and_eval(workload: str, args):
     eval_step = make_eval_step(wl)
     eval_batches = max(args.test_size // args.batch_size, 1)
     accs, lp_accs = [], []
-    for batch in batches(wl.dataset, args.batch_size, eval_batches):
+    for batch in batch_source(eval_batches):
         pred = np.asarray(eval_step(state, batch))
         accs.append((pred == batch["label"]).mean())
         lp_accs.append((batch["lp_label"] == batch["label"]).mean())
@@ -222,4 +236,6 @@ def parse_args(argv=None, workload: str = "fixed"):
     p.add_argument("--batch-size", "--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--work-dir", type=str, default="runs")
+    p.add_argument("--workers", type=int, default=8,
+                   help="multiprocess sample-synthesis workers (0 = inline)")
     return p.parse_args(argv)
