@@ -166,10 +166,22 @@ def train_and_eval(workload: str, args):
     sample = next(batches(wl.dataset, args.batch_size, 1))
     state, tx = create_state(wl, sample, args.seed)
 
-    # multiprocess sample synthesis (the exact DP + LP oracles are
-    # host-CPU-bound; the reference used 8-24 DataLoader workers)
+    # Data source priority: pre-generated .npz shards (reference workflow,
+    # data_generate/) > multiprocess on-the-fly synthesis > inline.
+    train_path = getattr(args, "train_path", "")
     workers = getattr(args, "workers", 0)
-    if workers:
+    if train_path:
+        from ..data.generate import NpzRPGMData
+
+        npz = NpzRPGMData(train_path, size=args.train_size)
+        steps_per_epoch = min(steps_per_epoch, len(npz) // args.batch_size)
+        epoch_counter = [0]
+
+        def batch_source(n, _npz=npz):
+            epoch_counter[0] += 1
+            return _npz.batches(args.batch_size, shuffle=True,
+                                seed=args.seed + epoch_counter[0])
+    elif workers:
         from ..data.loader import PoolBatcher
 
         ds_for_pool = wl.dataset
@@ -209,7 +221,8 @@ def train_and_eval(workload: str, args):
     eval_step = make_eval_step(wl)
     eval_batches = max(args.test_size // args.batch_size, 1)
     accs, lp_accs = [], []
-    for batch in batch_source(eval_batches):
+    # eval always draws fresh oracle-labelled samples
+    for batch in batches(wl.dataset, args.batch_size, eval_batches):
         pred = np.asarray(eval_step(state, batch))
         accs.append((pred == batch["label"]).mean())
         lp_accs.append((batch["lp_label"] == batch["label"]).mean())
@@ -236,6 +249,9 @@ def parse_args(argv=None, workload: str = "fixed"):
     p.add_argument("--batch-size", "--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--work-dir", type=str, default="runs")
-    p.add_argument("--workers", type=int, default=8,
+    p.add_argument("--workers", type=int,
+                   default=max(1, min(8, (os.cpu_count() or 2) - 1)),
                    help="multiprocess sample-synthesis workers (0 = inline)")
+    p.add_argument("--train-path", "--train_path", type=str, default="",
+                   help="pre-generated .npz dataset (fgnn_tpu.data.generate)")
     return p.parse_args(argv)

@@ -1,4 +1,8 @@
 from .logging import init_logger, MetricsWriter
 from .types import str2bool
+from .profiling import StepTimer, annotate, device_memory_stats, trace
+from .debug import nan_debug, check_finite, deterministic
 
-__all__ = ["init_logger", "MetricsWriter", "str2bool"]
+__all__ = ["init_logger", "MetricsWriter", "str2bool", "StepTimer",
+           "annotate", "device_memory_stats", "trace", "nan_debug",
+           "check_finite", "deterministic"]
