@@ -18,3 +18,16 @@ TPU lanes and per-node MLPs become plain MXU matmuls.
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+from .graph import FactorGraph  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy subpackage access: fgnn_tpu.models / .data / .parallel / .train
+    # without paying their import cost (flax, scipy) on bare `import fgnn_tpu`
+    if name in ("models", "data", "parallel", "train", "utils"):
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(name)
