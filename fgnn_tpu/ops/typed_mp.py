@@ -145,19 +145,29 @@ def typed_mp_conv(
     else:
         # Edge input [x_i ; x_i - x_j] (DIFF) or [x_i ; x_j] (NEIGHBOR)
         # (mp_nn.py:136-159). Requires N_dst == N_src.
-        xg = gather_nodes(x, nn_idx)                      # (B, N, K, C)
-        xi = x[:, :, None, :]                             # (B, N, 1, C)
+        #
+        # Split the 2C-row filter bank W = [W_self ; W_nbr] and use
+        #   [x_i ; x_i - x_j] W = x_i (W_self + W_nbr) - x_j W_nbr
+        #   [x_i ;       x_j] W = x_i W_self          + x_j W_nbr
+        # so the matmuls run once per NODE (not per edge, a K-fold FLOP
+        # saving) and the edge stage is gather + add, like NO_EXTENSION.
+        cin = x.shape[-1]
+        w_self = filters[:cin].astype(dtype)
+        w_nbr = filters[cin:].astype(dtype)
         if extension == Extension.ORIG_WITH_DIFF:
-            e = xi - xg
+            a = jnp.matmul(x, w_self + w_nbr, precision=precision,
+                           preferred_element_type=jnp.float32)
+            sign = -1.0
         elif extension == Extension.ORIG_WITH_NEIGHBOR:
-            e = xg
+            a = jnp.matmul(x, w_self, precision=precision,
+                           preferred_element_type=jnp.float32)
+            sign = 1.0
         else:
             raise ValueError(f"unknown extension {extension}")
-        K = xg.shape[2]
-        efeat = jnp.concatenate(
-            [jnp.broadcast_to(xi, xg.shape), e], axis=-1)  # (B, N, K, 2C)
-        h = jnp.matmul(efeat, filters.astype(dtype), precision=precision,
+        b = jnp.matmul(x, w_nbr, precision=precision,
                        preferred_element_type=jnp.float32)
+        bg = gather_nodes(b, nn_idx)                      # (B, N, K, nout*T)
+        h = a[:, :, None, :] + sign * bg
         h = h.reshape(*h.shape[:-1], nout, T)             # (B, N, K, nout, T)
         msgs = jnp.einsum("bnkct,bnkt->bnkc", h, etype.astype(dtype),
                           precision=precision,
