@@ -50,6 +50,22 @@ from .common import (
 )
 
 
+def make_syn_dataset(workload: str, args):
+    """Construct the per-workload sample generator (pure numpy — safe to
+    fork into worker pools before jax initializes)."""
+    L = args.chain_length
+    if workload == "fixed":
+        return RandomPGM(L, args.hop_cap, hop_order=args.hop_order,
+                         seed=args.seed)
+    if workload == "pw":
+        return RandomPGMPw(L, args.hop_cap, hop_order=args.hop_order,
+                           ret_efeature=False, seed=args.seed)
+    if workload == "hop":
+        return RandomPGMHop(L, hop_order=args.hop_order,
+                            ret_efeature_pw=False, seed=args.seed)
+    raise ValueError(workload)
+
+
 class SynWorkload:
     """Bundles model, static graph tables, and input packing per workload."""
 
@@ -58,13 +74,12 @@ class SynWorkload:
         self.workload = workload
         dims = getattr(args, "dims", None)  # None -> reference FMPNN_DIMS
         dim_kw = {"dims": tuple(dims)} if dims else {}
+        self.dataset = make_syn_dataset(workload, args)
         if workload == "fixed":
             self.model = SynFixedModel(variant=args.model_name)
             nn_idx, ef = chain_knn_table(L, args.neighbour)
             self.static = {"nn_idx": jnp.asarray(nn_idx),
                            "efeature": jnp.asarray(ef)}
-            self.dataset = RandomPGM(L, args.hop_cap, hop_order=args.hop_order,
-                                     seed=args.seed)
         elif workload == "pw":
             self.model = SynPwFactorModel(**dim_kw)
             nn_pw, ef_pw = pw_factor_table(L)
@@ -74,8 +89,6 @@ class SynWorkload:
                 "nn_idx_high": jnp.asarray(nn_high),
                 "ef_high": jnp.asarray(ef_high),
             }
-            self.dataset = RandomPGMPw(L, args.hop_cap, hop_order=args.hop_order,
-                                       ret_efeature=False, seed=args.seed)
         elif workload == "hop":
             self.model = SynHopFactorModel(hop_order=args.hop_order, **dim_kw)
             nn_pw, ef_pw = pw_factor_table(L)
@@ -85,8 +98,6 @@ class SynWorkload:
                 "nn_idx_high": jnp.asarray(nn_high),
                 "ef_high": jnp.asarray(ef_high),
             }
-            self.dataset = RandomPGMHop(L, hop_order=args.hop_order,
-                                        ret_efeature_pw=False, seed=args.seed)
         else:
             raise ValueError(workload)
 
@@ -161,13 +172,14 @@ def train_and_eval(workload: str, args):
     logging.info("%s", args)
     writer = MetricsWriter(os.path.join(work, "tf_logs"))
 
-    wl = SynWorkload(workload, args)
     steps_per_epoch = args.train_size // args.batch_size
-    sample = next(batches(wl.dataset, args.batch_size, 1))
-    state, tx = create_state(wl, sample, args.seed)
 
     # Data source priority: pre-generated .npz shards (reference workflow,
     # data_generate/) > multiprocess on-the-fly synthesis > inline.
+    # NOTE: the worker pool must FORK before any jax computation initializes
+    # the backend (forking a live multithreaded runtime deadlocks), so all
+    # data plumbing happens before SynWorkload converts tables to device
+    # arrays / the model state is created.
     train_path = getattr(args, "train_path", "")
     workers = getattr(args, "workers", 0)
     if train_path:
@@ -184,12 +196,18 @@ def train_and_eval(workload: str, args):
     elif workers:
         from ..data.loader import PoolBatcher
 
-        ds_for_pool = wl.dataset
+        ds_for_pool = make_syn_dataset(workload, args)
         pool = PoolBatcher(lambda d=ds_for_pool: d, args.batch_size,
                            n_workers=workers, seed=args.seed)
         batch_source = lambda n: pool.batches(n)  # noqa: E731
     else:
+        batch_source = None  # filled below once wl exists
+
+    wl = SynWorkload(workload, args)
+    if batch_source is None:
         batch_source = lambda n: batches(wl.dataset, args.batch_size, n)  # noqa: E731
+    sample = next(batches(wl.dataset, args.batch_size, 1))
+    state, tx = create_state(wl, sample, args.seed)
     train_step = make_train_step(wl, tx)
     sched = Schedules.exp_decay(0.98)
 
