@@ -9,16 +9,33 @@ training step (forward + backward + Adam) of the reference-configuration
 LDPCModel: per sample per FactorNN layer, f2v edges (96*3) + v2f (48*6) +
 global-factor edges (96 + 96) = 768, times 8 layers = 6144 edges/sample.
 
-vs_baseline: ratio against the value stored in bench_baseline.json
-(written on first run), so cross-round progress is tracked even though the
-reference repo publishes no numbers (BASELINE.md).
+Methodology (important on a tunneled TPU):
+  * the batch is staged on device once (a real input pipeline overlaps
+    host->device transfers with compute; we measure the compute path);
+  * steps are chained through the carried train state and timed with a
+    single forced host readback of the final loss — `block_until_ready`
+    is NOT trusted (through the axon relay it can return before the work
+    is done, which silently turns the timing into a dispatch-rate
+    measurement);
+  * the one readback round-trip (~25 ms over the relay) is amortized
+    over `iters` steps and additionally subtracted using a measured
+    empty-readback estimate.
+
+vs_baseline: ratio against the value stored in bench_baseline.json, so
+cross-round progress is tracked even though the reference repo publishes
+no numbers (BASELINE.md).
 """
 
 import json
 import os
 import time
 
-import numpy as np
+
+def _readback(x):
+    """Force a real host round-trip (do not trust block_until_ready)."""
+    import jax
+
+    return float(jax.tree.leaves(x)[0].ravel()[0])
 
 
 def main():
@@ -29,15 +46,16 @@ def main():
     from fgnn_tpu.train.ldpc import create_state, make_train_step
 
     batch_size = int(os.environ.get("FGNN_BENCH_BATCH", "256"))
-    iters = int(os.environ.get("FGNN_BENCH_ITERS", "20"))
+    iters = int(os.environ.get("FGNN_BENCH_ITERS", "30"))
     if os.environ.get("FGNN_BENCH_BF16") == "1":
         import jax.numpy as jnp
+
         from fgnn_tpu.models.policy import set_compute_dtype
 
         set_compute_dtype(jnp.bfloat16)
 
     ds = ContinuousCodesSP(length=batch_size, seed=0)
-    batch = next(ds.batches(batch_size))
+    batch = jax.device_put(next(ds.batches(batch_size)))
 
     model = LDPCModel()
     state, tx = create_state(model, batch)
@@ -48,18 +66,26 @@ def main():
     edges_per_sample = (96 * 3 + 48 * 6 + 96 + 96) * n_layers
     edges_per_step = edges_per_sample * batch_size
 
-    # warmup / compile
+    # warmup / compile, with forced readback
     for _ in range(3):
         state, m = train_step(state, batch)
-    jax.block_until_ready(m)
+    _readback(m["loss"])
 
+    # estimate the bare readback round-trip so it can be subtracted
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = train_step(state, batch)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+    _readback(m["loss"])
+    rtt = time.perf_counter() - t0
 
-    edges_per_s = edges_per_step / dt
+    best = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = train_step(state, batch)
+        _readback(m["loss"])
+        dt = (time.perf_counter() - t0 - rtt) / iters
+        best = min(best, dt)
+
+    edges_per_s = edges_per_step / best
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
@@ -69,7 +95,7 @@ def main():
         baseline = edges_per_s
         with open(base_path, "w") as f:
             json.dump({"edges_per_s": edges_per_s,
-                       "note": "first recorded run (round 1)"}, f)
+                       "note": "first recorded run"}, f)
 
     print(json.dumps({
         "metric": "edges_per_s",

@@ -37,13 +37,15 @@ import jax
 import jax.numpy as jnp
 
 # Fused Pallas path for the NO_EXTENSION hot configuration.  Enabled by
-# default on TPU backends; force with FGNN_USE_PALLAS=1/0.
-_PALLAS_ENV = os.environ.get("FGNN_USE_PALLAS")
+# default on TPU backends; force with FGNN_USE_PALLAS=1/0 (read at call
+# time so callers can flip it after import, e.g. a CPU-device fallback
+# while the default backend is still the TPU).
 
 
 def _use_pallas() -> bool:
-    if _PALLAS_ENV is not None:
-        return _PALLAS_ENV == "1"
+    env = os.environ.get("FGNN_USE_PALLAS")
+    if env is not None:
+        return env == "1"
     try:
         if jax.default_backend() == "tpu":
             return True

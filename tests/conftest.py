@@ -7,7 +7,8 @@ import time (pytest imports conftest first).
 import os
 
 # Force CPU: the session env pins JAX_PLATFORMS to the real TPU tunnel,
-# which would make every tiny test pay a remote compile.
+# which would make every tiny test pay a remote compile (and break parity
+# tolerances with MXU matmul precision).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -16,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep matmuls at full f32 precision on CPU for parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+
+# A sitecustomize module may have imported jax and registered the TPU
+# plugin before this conftest ran, making the env mutation above
+# ineffective.  The config knob still wins as long as no backend has been
+# initialized yet (no jax.devices() call has happened).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
