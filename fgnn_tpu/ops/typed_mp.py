@@ -36,23 +36,19 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Fused Pallas path for the NO_EXTENSION hot configuration.  Enabled by
-# default on TPU backends; force with FGNN_USE_PALLAS=1/0 (read at call
-# time so callers can flip it after import, e.g. a CPU-device fallback
-# while the default backend is still the TPU).
+# Fused Pallas path for the NO_EXTENSION hot configuration.  Opt-in via
+# FGNN_USE_PALLAS=1 (read at call time): with the one-hot matmul gather
+# below, the pure-XLA lowering measures FASTER than the Pallas custom
+# call on the current TPU (the custom-call layout constraints force
+# whole-activation transpose copies around every kernel invocation —
+# 25.0 vs 16.6 ms/step on the B=256 LDPC train step).
 
 
 def _use_pallas() -> bool:
     env = os.environ.get("FGNN_USE_PALLAS")
     if env is not None:
         return env == "1"
-    try:
-        if jax.default_backend() == "tpu":
-            return True
-        # TPU via a PJRT plugin under another name (e.g. the axon tunnel)
-        return "tpu" in jax.devices()[0].device_kind.lower()
-    except Exception:  # pragma: no cover
-        return False
+    return False
 
 
 class Extension(enum.Enum):
@@ -63,6 +59,14 @@ class Extension(enum.Enum):
     ORIG_WITH_DIFF = 2
 
 
+# Shared-table gathers over <= this many source nodes are rewritten as a
+# one-hot matmul: on TPU the MXU runs the 0/1 contraction (bit-exact — each
+# output row sums exactly one nonzero product) 10-40x faster than the XLA
+# gather lowering, and its BACKWARD is another matmul instead of a
+# scatter-add (the scatter is what made large batches pathological).
+_ONEHOT_MAX_SRC = int(os.environ.get("FGNN_ONEHOT_GATHER_MAX", "512"))
+
+
 def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
     """Gather per-edge source features.
 
@@ -71,6 +75,10 @@ def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
     returns (B, N_dst, K, C)
     """
     if nn_idx.ndim == 2:
+        n_src = x.shape[1]
+        if 0 < n_src <= _ONEHOT_MAX_SRC:
+            onehot = jax.nn.one_hot(nn_idx, n_src, dtype=x.dtype)
+            return jnp.einsum("dkn,bnc->bdkc", onehot, x)
         return x[:, nn_idx]
     if nn_idx.ndim == 3:
         return jax.vmap(lambda xb, ib: xb[ib])(x, nn_idx)

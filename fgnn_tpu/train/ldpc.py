@@ -76,7 +76,9 @@ def _model_inputs(batch: dict) -> dict:
 
 
 def make_train_step(model: LDPCModel, tx):
-    @jax.jit
+    # donate the carried state: params/opt buffers update in place, which
+    # also removes a pile of defensive copies from the compiled step
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         inputs = _model_inputs(batch)
         label = batch["label"][:, :N_INFO].astype(jnp.float32)

@@ -127,7 +127,10 @@ def create_state(wl: SynWorkload, sample_batch: dict, seed: int,
 
 
 def make_train_step(wl: SynWorkload, tx):
-    @jax.jit
+    from functools import partial
+
+    # donate the carried state: in-place param/opt buffer reuse
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict):
         inputs = wl.model_inputs(batch)
         labels = batch["label"]

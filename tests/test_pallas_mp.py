@@ -74,7 +74,7 @@ def test_typed_mp_conv_pallas_dispatch(rng, monkeypatch):
     ref = typed_mp_conv(jnp.asarray(h_x), jnp.asarray(nn_idx),
                         jnp.asarray(etype), jnp.asarray(W), C,
                         extension=Extension.NO_EXTENSION, aggregator="max")
-    monkeypatch.setattr(tm, "_PALLAS_ENV", "1")
+    monkeypatch.setenv("FGNN_USE_PALLAS", "1")
     with pltpu.force_tpu_interpret_mode():
         got = typed_mp_conv(jnp.asarray(h_x), jnp.asarray(nn_idx),
                             jnp.asarray(etype), jnp.asarray(W), C,
