@@ -30,7 +30,7 @@ from .tables import (
     high_factor_table,
     global_factor_table,
 )
-from .loader import Prefetcher, prefetch, PoolBatcher
+from .loader import Prefetcher, prefetch, device_prefetch, PoolBatcher
 from . import ldpc_cpp
 
 __all__ = [
@@ -46,6 +46,6 @@ __all__ = [
     "RandomPGMHop", "batches",
     "chain_knn_table", "pw_factor_table", "high_factor_table",
     "global_factor_table",
-    "Prefetcher", "prefetch", "PoolBatcher",
+    "Prefetcher", "prefetch", "device_prefetch", "PoolBatcher",
     "ldpc_cpp",
 ]

@@ -49,6 +49,23 @@ def prefetch(it: Iterator, depth: int = 4) -> Iterator:
     return iter(Prefetcher(it, depth))
 
 
+def device_prefetch(it: Iterator, depth: int = 3) -> Iterator:
+    """Prefetch batches AND stage them on the default device.
+
+    The device_put runs in the prefetch thread, so the host->device
+    transfer (expensive over a remote-device transport) overlaps with the
+    accelerator executing the previous step instead of serializing in
+    front of every dispatch.
+    """
+    import jax
+
+    def staged():
+        for b in it:
+            yield jax.device_put(b)
+
+    return iter(Prefetcher(staged(), depth))
+
+
 class PoolBatcher:
     """Multiprocess batch synthesis for CPU-bound sample generators.
 

@@ -134,22 +134,29 @@ def train(args, model, writer, model_dir):
     steps_per_epoch = args.steps_per_epoch or (len(dataset) // args.batch_size)
     logging.info("training: %d epochs x %d steps", args.n_epochs, steps_per_epoch)
 
+    gcnt = int(state.gcnt)
     for epoch in range(start_epoch, args.n_epochs):
         state = state.replace(opt_state=set_lr(state.opt_state,
                                                1e-2 * sched(epoch)))
         t0 = time.time()
         metrics_acc = []
-        from ..data import prefetch
+        from ..data import device_prefetch
 
-        for bcnt, batch in enumerate(prefetch(dataset.batches(args.batch_size))):
+        # device_prefetch stages batches on device from a background
+        # thread; metrics stay on device until the logging boundary, and
+        # the step counter is tracked host-side — a per-step device_get
+        # is a full RPC round trip on a tunneled TPU.
+        for bcnt, batch in enumerate(
+                device_prefetch(dataset.batches(args.batch_size))):
             if bcnt >= steps_per_epoch:
                 break
             state, m = train_step(state, batch)
-            metrics_acc.append(jax.device_get(m))
-            gcnt = int(state.gcnt)
+            metrics_acc.append(m)
+            gcnt += 1
             if gcnt % 10 == 0:
-                mm = {k: float(np.mean([x[k] for x in metrics_acc]))
-                      for k in metrics_acc[0]}
+                host = jax.device_get(metrics_acc)
+                mm = {k: float(np.mean([x[k] for x in host]))
+                      for k in host[0]}
                 metrics_acc = []
                 writer.add_scalar("syn_train/loss", mm["loss"], gcnt)
                 writer.add_scalar("syn_train/sigma_b_loss", mm["sigma_b_loss"], gcnt)

@@ -218,21 +218,28 @@ def train_and_eval(workload: str, args):
     if args.model_path and os.path.exists(args.model_path):
         state, start_epoch, _ = load_checkpoint(args.model_path, state)
 
+    gcnt = int(state.gcnt)
     for epoch in range(start_epoch, args.train_epoches):
         state = state.replace(
             opt_state=set_lr(state.opt_state, 3e-3 * sched(epoch)))
         t0 = time.time()
         acc_m = []
-        from ..data import prefetch
+        from ..data import device_prefetch
 
-        for bcnt, batch in enumerate(prefetch(batch_source(steps_per_epoch))):
+        # batches staged on device from the prefetch thread; metrics kept
+        # on device until the logging boundary; host-side step counter —
+        # per-step device_get is a full RPC round trip on a tunneled TPU
+        for bcnt, batch in enumerate(
+                device_prefetch(batch_source(steps_per_epoch))):
             state, m = train_step(state, batch)
-            acc_m.append(jax.device_get(m))
-            if int(state.gcnt) % 10 == 0:
-                mm = {k: float(np.mean([x[k] for x in acc_m])) for k in acc_m[0]}
+            acc_m.append(m)
+            gcnt += 1
+            if gcnt % 10 == 0:
+                host = jax.device_get(acc_m)
+                mm = {k: float(np.mean([x[k] for x in host])) for k in host[0]}
                 acc_m = []
                 for k, v in mm.items():
-                    writer.add_scalar(f"syn_train/{k}", v, int(state.gcnt))
+                    writer.add_scalar(f"syn_train/{k}", v, gcnt)
                 logging.info("epoch=%d bcnt=%d %s", epoch, bcnt,
                              {k: round(v, 4) for k, v in mm.items()})
         save_checkpoint(os.path.join(work, "latest.ckpt"), state, epoch + 1)
