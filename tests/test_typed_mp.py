@@ -114,3 +114,50 @@ def test_segment_logsumexp_masked(rng):
         vals = data[seg == s]
         want = np.log(np.exp(3.0 * vals).sum()) / 3.0
         np.testing.assert_allclose(got[s], want, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_nodes_onehot_matches_indexing(rng):
+    """The one-hot matmul rewrite of the shared-table gather is exact,
+    and the large-graph fallback indexes identically."""
+    import fgnn_tpu.ops.typed_mp as tm
+
+    x = rng.randn(3, 20, 7).astype(np.float32)
+    idx = rng.randint(0, 20, (11, 4)).astype(np.int32)
+    want = x[:, idx]
+
+    got = tm.gather_nodes(jnp.asarray(x), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # force the fallback (as if n_src exceeded the one-hot threshold)
+    old = tm._ONEHOT_MAX_SRC
+    try:
+        tm._ONEHOT_MAX_SRC = 1
+        got_fb = tm.gather_nodes(jnp.asarray(x), jnp.asarray(idx))
+    finally:
+        tm._ONEHOT_MAX_SRC = old
+    np.testing.assert_array_equal(np.asarray(got_fb), want)
+
+
+def test_device_prefetch_roundtrip():
+    """device_prefetch yields device-resident batches, in order, and
+    propagates generator errors."""
+    import jax
+    import pytest as _pytest
+
+    from fgnn_tpu.data import device_prefetch
+
+    batches = [{"a": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["a"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["a"]), batches[i]["a"])
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("generator failed")
+
+    it = device_prefetch(boom())
+    next(it)
+    with _pytest.raises(RuntimeError, match="generator failed"):
+        list(it)
