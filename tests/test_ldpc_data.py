@@ -177,3 +177,19 @@ def test_gen_sample_with_bp_error():
                             with_bp_error=True)
     assert 0.0 <= err <= 1.0
     assert err < 0.1  # snr 4 decodes cleanly
+
+
+def test_continuous_codes_joint_batches():
+    """Joint-graph on-the-fly dataset (ContinusCodes equivalent,
+    reference ldpc_dataset.py:159-206)."""
+    from fgnn_tpu.data import ContinuousCodesJoint
+
+    ds = ContinuousCodesJoint(length=8, seed=0)
+    b = next(ds.batches(4))
+    assert b["node_feature"].shape == (4, 96, 2)
+    assert b["hop_feature"].shape == (4, 48, 6)
+    assert b["nn_idx"].shape == (4, 144, 6)
+    assert b["etype"].shape == (4, 144, 6, 2)
+    assert b["efeature"].shape == (4, 144, 6, 7)
+    assert b["label"].shape == (4, 96)
+    assert set(np.unique(b["label"])) <= {0, 1}
