@@ -121,6 +121,17 @@ def make_eval_step(model: LDPCModel):
 def train(args, model, writer, model_dir):
     dataset = ContinuousCodesSP(length=args.samples_per_epoch, snr=args.snr,
                                 seed=args.seed)
+    # The worker pool must FORK before jax initializes its backend (below,
+    # at create_state) — forking a live multithreaded runtime deadlocks.
+    pool = None
+    if getattr(args, "workers", 0):
+        from ..data.loader import PoolBatcher
+
+        spe = args.samples_per_epoch
+        snr, seed = args.snr, args.seed
+        pool = PoolBatcher(
+            lambda: ContinuousCodesSP(length=spe, snr=snr, seed=seed),
+            args.batch_size, n_workers=args.workers, seed=args.seed)
     sample_batch = next(dataset.batches(args.batch_size))
     state, tx = create_state(model, sample_batch, seed=args.seed)
     train_step = make_train_step(model, tx)
@@ -146,8 +157,9 @@ def train(args, model, writer, model_dir):
         # thread; metrics stay on device until the logging boundary, and
         # the step counter is tracked host-side — a per-step device_get
         # is a full RPC round trip on a tunneled TPU.
-        for bcnt, batch in enumerate(
-                device_prefetch(dataset.batches(args.batch_size))):
+        source = (pool.batches(steps_per_epoch) if pool is not None
+                  else dataset.batches(args.batch_size))
+        for bcnt, batch in enumerate(device_prefetch(source)):
             if bcnt >= steps_per_epoch:
                 break
             state, m = train_step(state, batch)
@@ -230,6 +242,8 @@ def parse_args(argv=None):
     p.add_argument("--eval-bp-baseline", type=lambda s: s != "0", default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--work-dir", type=str, default="runs")
+    p.add_argument("--workers", type=int, default=0,
+                   help="multiprocess sample-synthesis workers (0 = inline)")
     return p.parse_args(argv)
 
 
