@@ -200,11 +200,22 @@ def evaluate(args, model, state=None):
     acc_tot = np.zeros((len(snrs), len(sbs)))
     correct = 0
     total = 0
-    for batch in ds.batches(args.batch_size):
-        pred = np.asarray(eval_step(state, batch))
-        label = batch["label"][:, :N_INFO]
-        snr = batch["snr_db"]
-        sb = batch["sigma_b"]
+    from ..data import prefetch
+
+    # dispatch all eval batches asynchronously (host-side metadata kept as
+    # numpy); one bulk device_get at the end instead of a blocking
+    # readback per batch
+    hosts = []
+    preds = []
+    for batch in prefetch(ds.batches(args.batch_size)):
+        preds.append(eval_step(state, batch))
+        hosts.append({k: np.asarray(batch[k]) for k in
+                      ("label", "snr_db", "sigma_b")})
+    preds = jax.device_get(preds)
+    for pred, hb in zip(preds, hosts):
+        label = hb["label"][:, :N_INFO]
+        snr = hb["snr_db"]
+        sb = hb["sigma_b"]
         for i, s in enumerate(snrs):
             for j, b in enumerate(sbs):
                 sel = (np.abs(snr - s) < 1e-3) & (sb.astype(int) == b)
