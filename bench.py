@@ -41,6 +41,10 @@ def _readback(x):
 def main():
     import jax
 
+    from fgnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from fgnn_tpu.data import ContinuousCodesSP
     from fgnn_tpu.models import LDPCModel
     from fgnn_tpu.train.ldpc import create_state, make_train_step

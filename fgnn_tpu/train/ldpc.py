@@ -259,6 +259,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     model = LDPCModel(aggregator=args.aggregator)
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")

@@ -168,6 +168,9 @@ def make_eval_step(wl: SynWorkload):
 
 
 def train_and_eval(workload: str, args):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     work = os.path.join(args.work_dir,
                         f"syn_{workload}_{args.model_name}_at_{stamp}")

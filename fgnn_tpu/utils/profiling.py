@@ -71,3 +71,24 @@ class StepTimer:
     def reset(self):
         self._t0 = time.perf_counter()
         self._steps = self._edges = self._samples = 0
+
+
+def enable_compilation_cache(path: str = ""):
+    """Enable JAX's persistent compilation cache.
+
+    On a tunneled TPU with remote compile, the first jit of the LDPC train
+    step costs ~60-90 s per process; the on-disk cache cuts repeat starts
+    to seconds.  Respects an existing JAX_COMPILATION_CACHE_DIR.
+    """
+    import os
+
+    import jax
+
+    cache = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+             or os.path.expanduser("~/.cache/fgnn_tpu/jax"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort, never fail a run over it
+        pass
