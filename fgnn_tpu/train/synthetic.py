@@ -171,6 +171,10 @@ def train_and_eval(workload: str, args):
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if getattr(args, "bf16", False):
+        from ..models.policy import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16)
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     work = os.path.join(args.work_dir,
                         f"syn_{workload}_{args.model_name}_at_{stamp}")
@@ -285,4 +289,6 @@ def parse_args(argv=None, workload: str = "fixed"):
                    help="multiprocess sample-synthesis workers (0 = inline)")
     p.add_argument("--train-path", "--train_path", type=str, default="",
                    help="pre-generated .npz dataset (fgnn_tpu.data.generate)")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 compute policy (f32 params/stats)")
     return p.parse_args(argv)
