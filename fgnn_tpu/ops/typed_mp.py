@@ -85,20 +85,22 @@ def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
     raise ValueError(f"nn_idx must be rank 2 or 3, got {nn_idx.shape}")
 
 
-def aggregate(msgs: jax.Array, aggregator: str, gamma: float = 3.0) -> jax.Array:
+def aggregate(msgs: jax.Array, aggregator: str, gamma: float = 3.0,
+              axis: int = 2) -> jax.Array:
     """Aggregate per-edge messages over the neighbor axis K.
 
-    msgs: (B, N, K, C) -> (B, N, C).  Matches mp_nn.py:68-90.
+    msgs: (B, N, K, C) -> (B, N, C) by default (matches mp_nn.py:68-90);
+    ``axis`` selects K for other layouts.
     """
     if aggregator == "max":
-        return jnp.max(msgs, axis=2)
+        return jnp.max(msgs, axis=axis)
     if aggregator == "softmax":
         # (1/gamma) * logsumexp(gamma * x) over K  (mp_nn.py:79-85)
-        return (1.0 / gamma) * jax.nn.logsumexp(gamma * msgs, axis=2)
+        return (1.0 / gamma) * jax.nn.logsumexp(gamma * msgs, axis=axis)
     if aggregator == "mean":
-        return jnp.mean(msgs, axis=2)
+        return jnp.mean(msgs, axis=axis)
     if aggregator == "sum":
-        return jnp.sum(msgs, axis=2)
+        return jnp.sum(msgs, axis=axis)
     raise ValueError(f"unknown aggregator {aggregator!r}")
 
 
@@ -145,6 +147,28 @@ def typed_mp_conv(
                 if bias is not None:
                     out = out + bias.astype(dtype)
                 return out
+
+        n_src = x.shape[1]
+        if jnp.ndim(nn_idx) == 2 and 0 < n_src <= _ONEHOT_MAX_SRC:
+            # One-hot MXU gather kept in the dot's NATURAL output layout
+            # (Nd, K, B, C): forcing (B, Nd, K, C) here makes XLA insert a
+            # whole-activation transpose copy (hundreds of MB per layer);
+            # instead only the small aggregated (Nd, B, C) result is
+            # transposed back at the end.
+            onehot = jax.nn.one_hot(nn_idx, n_src, dtype=dtype)
+            hg = jnp.einsum("dkn,bnm->dkbm", onehot, h,
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+            hg = hg.reshape(*hg.shape[:-1], nout, T)
+            et = jnp.transpose(etype.astype(dtype), (1, 2, 0, 3))  # (Nd,K,B,T)
+            msgs = jnp.einsum("dkbct,dkbt->dkbc", hg, et,
+                              precision=precision,
+                              preferred_element_type=jnp.float32)
+            out = aggregate(msgs, aggregator, gamma, axis=1)       # (Nd,B,C)
+            out = jnp.transpose(out, (1, 0, 2))                    # (B,Nd,C)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
 
         h = h.reshape(*h.shape[:-1], nout, T)
         hg = gather_nodes(h.reshape(*h.shape[:-2], nout * T), nn_idx)
