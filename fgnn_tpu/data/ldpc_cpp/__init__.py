@@ -3,7 +3,7 @@
 Builds the shared library on demand with g++ (cached in build/); falls back
 to the numpy implementation in fgnn_tpu.data.bp_ref when no compiler is
 available.  The C++ and numpy decoders are verified equal in
-tests/test_ldpc_decoder.py.
+tests/test_ldpc_data.py (test_cpp_decoder_matches_numpy and friends).
 """
 
 from __future__ import annotations

@@ -60,11 +60,43 @@ class Extension(enum.Enum):
 
 
 # Shared-table gathers over <= this many source nodes are rewritten as a
-# one-hot matmul: on TPU the MXU runs the 0/1 contraction (bit-exact — each
-# output row sums exactly one nonzero product) 10-40x faster than the XLA
-# gather lowering, and its BACKWARD is another matmul instead of a
-# scatter-add (the scatter is what made large batches pathological).
+# one-hot matmul: on TPU the MXU runs the 0/1 contraction (each output row
+# sums exactly one nonzero product) 10-40x faster than the XLA gather
+# lowering, and its BACKWARD is another matmul instead of a scatter-add
+# (the scatter is what made large batches pathological).
+#
+# PRECISION NOTE (structurally exact, numerically MXU-default): the one-hot
+# contraction has exactly one nonzero product per output element, so there
+# is no accumulation error at any precision.  On TPU, however, the MXU's
+# default f32 matmul rounds the *feature* operand to bfloat16 (~3 decimal
+# digits), so the gather is NOT bit-exact there by default — it is on CPU,
+# and the conftest pins JAX_DEFAULT_MATMUL_PRECISION=highest for parity
+# tests.  Measured on the real chip (B=256 LDPC step): forcing
+# Precision.HIGHEST or HIGH on these einsums costs ~23% end-to-end
+# throughput (126 -> 96 M edges/s), while training quality at the default
+# is validated end-to-end (RESULTS.md), so the default stays fast and
+# FGNN_GATHER_PRECISION=highest opts into bit-exact gathers (checkpoint-
+# import parity evals want this).
+#
+# PRECONDITION: one-hot gathers require in-range indices.  Out-of-range or
+# negative entries in ``nn_idx`` produce all-zero rows (the indexed gather
+# would clamp instead), and Inf/NaN anywhere in ``x`` poisons every output
+# row (0*Inf=NaN).  All fgnn_tpu tables are self-loop padded and therefore
+# valid; enable FGNN_DEBUG_CHECK_IDX=1 / jax_debug_nans when in doubt.
 _ONEHOT_MAX_SRC = int(os.environ.get("FGNN_ONEHOT_GATHER_MAX", "512"))
+_GATHER_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if os.environ.get("FGNN_GATHER_PRECISION") == "highest" else None)
+_DEBUG_CHECK_IDX = os.environ.get("FGNN_DEBUG_CHECK_IDX") == "1"
+
+
+def _check_idx(nn_idx, n_src: int):
+    if _DEBUG_CHECK_IDX:
+        import numpy as np
+
+        idx = np.asarray(nn_idx)
+        assert idx.min() >= 0 and idx.max() < n_src, (
+            f"nn_idx out of range [0, {n_src}): min={idx.min()} max={idx.max()}")
 
 
 def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
@@ -73,12 +105,16 @@ def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
     x:      (B, N_src, C)
     nn_idx: (N_dst, K) shared across batch, or (B, N_dst, K) per-sample.
     returns (B, N_dst, K, C)
+
+    Indices must lie in [0, N_src) — see the one-hot precondition above.
     """
     if nn_idx.ndim == 2:
         n_src = x.shape[1]
         if 0 < n_src <= _ONEHOT_MAX_SRC:
+            _check_idx(nn_idx, n_src)
             onehot = jax.nn.one_hot(nn_idx, n_src, dtype=x.dtype)
-            return jnp.einsum("dkn,bnc->bdkc", onehot, x)
+            return jnp.einsum("dkn,bnc->bdkc", onehot, x,
+                              precision=_GATHER_PRECISION)
         return x[:, nn_idx]
     if nn_idx.ndim == 3:
         return jax.vmap(lambda xb, ib: xb[ib])(x, nn_idx)
@@ -155,9 +191,10 @@ def typed_mp_conv(
             # whole-activation transpose copy (hundreds of MB per layer);
             # instead only the small aggregated (Nd, B, C) result is
             # transposed back at the end.
+            _check_idx(nn_idx, n_src)
             onehot = jax.nn.one_hot(nn_idx, n_src, dtype=dtype)
             hg = jnp.einsum("dkn,bnm->dkbm", onehot, h,
-                            precision=precision,
+                            precision=(precision or _GATHER_PRECISION),
                             preferred_element_type=jnp.float32)
             hg = hg.reshape(*hg.shape[:-1], nout, T)
             et = jnp.transpose(etype.astype(dtype), (1, 2, 0, 3))  # (Nd,K,B,T)

@@ -79,10 +79,17 @@ def set_lr(opt_state, lr: float):
     return opt_state
 
 
+# Bump when the on-disk layout changes incompatibly.  v2: opt_state is the
+# optax.flatten form (one contiguous vector per Adam buffer) — v1 (per-leaf
+# Adam) checkpoints cannot be restored into a v2 skeleton.
+CKPT_FORMAT_VERSION = 2
+
+
 def save_checkpoint(path: str, state: TrainState, epoch: int,
                     extra: Optional[dict] = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
+        "format_version": CKPT_FORMAT_VERSION,
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
@@ -103,11 +110,23 @@ def load_checkpoint(path: str, state: TrainState):
     Returns (state, start_epoch, extra)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    version = payload.get("format_version")
+    if version is not None and version != CKPT_FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has format version {version}, this build "
+            f"reads version {CKPT_FORMAT_VERSION}; re-train, or restore "
+            "params only by loading the pickle manually.")
 
     def _restore(template, saved):
         leaves_t, treedef = jax.tree.flatten(template)
         leaves_s = jax.tree.leaves(saved)
-        assert len(leaves_t) == len(leaves_s), "checkpoint structure mismatch"
+        if len(leaves_t) != len(leaves_s):
+            raise ValueError(
+                f"checkpoint {path} structure mismatch "
+                f"({len(leaves_s)} leaves saved vs {len(leaves_t)} expected)"
+                + ("" if version else " — an unversioned pre-"
+                   "optax.flatten checkpoint cannot be restored into this "
+                   "build; re-train or restore params only."))
         return jax.tree.unflatten(
             treedef, [jnp.asarray(s) for s in leaves_s])
 

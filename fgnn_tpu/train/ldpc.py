@@ -146,37 +146,47 @@ def train(args, model, writer, model_dir):
     logging.info("training: %d epochs x %d steps", args.n_epochs, steps_per_epoch)
 
     gcnt = int(state.gcnt)
-    for epoch in range(start_epoch, args.n_epochs):
-        state = state.replace(opt_state=set_lr(state.opt_state,
-                                               1e-2 * sched(epoch)))
-        t0 = time.time()
-        metrics_acc = []
-        from ..data import device_prefetch
+    try:
+        for epoch in range(start_epoch, args.n_epochs):
+            state = state.replace(opt_state=set_lr(state.opt_state,
+                                                   1e-2 * sched(epoch)))
+            t0 = time.time()
+            metrics_acc = []
+            from itertools import islice
 
-        # device_prefetch stages batches on device from a background
-        # thread; metrics stay on device until the logging boundary, and
-        # the step counter is tracked host-side — a per-step device_get
-        # is a full RPC round trip on a tunneled TPU.
-        source = (pool.batches(steps_per_epoch) if pool is not None
-                  else dataset.batches(args.batch_size))
-        for bcnt, batch in enumerate(device_prefetch(source)):
-            if bcnt >= steps_per_epoch:
-                break
-            state, m = train_step(state, batch)
-            metrics_acc.append(m)
-            gcnt += 1
-            if gcnt % 10 == 0:
-                host = jax.device_get(metrics_acc)
-                mm = {k: float(np.mean([x[k] for x in host]))
-                      for k in host[0]}
-                metrics_acc = []
-                writer.add_scalar("syn_train/loss", mm["loss"], gcnt)
-                writer.add_scalar("syn_train/sigma_b_loss", mm["sigma_b_loss"], gcnt)
-                writer.add_scalar("syn_train/acc", mm["acc"], gcnt)
-                logging.info("epoch=%d bcnt=%d loss=%.4f acc=%.4f",
-                             epoch, bcnt, mm["loss"], mm["acc"])
-        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
-        save_checkpoint(ckpt_path, state, epoch + 1)
+            from ..data import device_prefetch
+
+            # device_prefetch stages batches on device from a background
+            # thread; metrics stay on device until the logging boundary, and
+            # the step counter is tracked host-side — a per-step device_get
+            # is a full RPC round trip on a tunneled TPU.  The source is
+            # capped with islice (not a mid-stream break) so the prefetch
+            # thread terminates with the epoch instead of blocking on a
+            # full queue.
+            source = (pool.batches(steps_per_epoch) if pool is not None
+                      else islice(dataset.batches(args.batch_size),
+                                  steps_per_epoch))
+            with device_prefetch(source) as staged:
+                for bcnt, batch in enumerate(staged):
+                    state, m = train_step(state, batch)
+                    metrics_acc.append(m)
+                    gcnt += 1
+                    if gcnt % 10 == 0:
+                        host = jax.device_get(metrics_acc)
+                        mm = {k: float(np.mean([x[k] for x in host]))
+                              for k in host[0]}
+                        metrics_acc = []
+                        writer.add_scalar("syn_train/loss", mm["loss"], gcnt)
+                        writer.add_scalar("syn_train/sigma_b_loss",
+                                          mm["sigma_b_loss"], gcnt)
+                        writer.add_scalar("syn_train/acc", mm["acc"], gcnt)
+                        logging.info("epoch=%d bcnt=%d loss=%.4f acc=%.4f",
+                                     epoch, bcnt, mm["loss"], mm["acc"])
+            logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+            save_checkpoint(ckpt_path, state, epoch + 1)
+    finally:
+        if pool is not None:
+            pool.close()
     save_checkpoint(os.path.join(model_dir, "ldpc_final.ckpt"), state,
                     args.n_epochs)
     return state

@@ -203,14 +203,15 @@ def train_and_eval(workload: str, args):
             epoch_counter[0] += 1
             return _npz.batches(args.batch_size, shuffle=True,
                                 seed=args.seed + epoch_counter[0])
-    elif workers:
+    pool = None
+    if not train_path and workers:
         from ..data.loader import PoolBatcher
 
         ds_for_pool = make_syn_dataset(workload, args)
         pool = PoolBatcher(lambda d=ds_for_pool: d, args.batch_size,
                            n_workers=workers, seed=args.seed)
         batch_source = lambda n: pool.batches(n)  # noqa: E731
-    else:
+    elif not train_path:
         batch_source = None  # filled below once wl exists
 
     wl = SynWorkload(workload, args)
@@ -226,31 +227,36 @@ def train_and_eval(workload: str, args):
         state, start_epoch, _ = load_checkpoint(args.model_path, state)
 
     gcnt = int(state.gcnt)
-    for epoch in range(start_epoch, args.train_epoches):
-        state = state.replace(
-            opt_state=set_lr(state.opt_state, 3e-3 * sched(epoch)))
-        t0 = time.time()
-        acc_m = []
-        from ..data import device_prefetch
+    try:
+        for epoch in range(start_epoch, args.train_epoches):
+            state = state.replace(
+                opt_state=set_lr(state.opt_state, 3e-3 * sched(epoch)))
+            t0 = time.time()
+            acc_m = []
+            from ..data import device_prefetch
 
-        # batches staged on device from the prefetch thread; metrics kept
-        # on device until the logging boundary; host-side step counter —
-        # per-step device_get is a full RPC round trip on a tunneled TPU
-        for bcnt, batch in enumerate(
-                device_prefetch(batch_source(steps_per_epoch))):
-            state, m = train_step(state, batch)
-            acc_m.append(m)
-            gcnt += 1
-            if gcnt % 10 == 0:
-                host = jax.device_get(acc_m)
-                mm = {k: float(np.mean([x[k] for x in host])) for k in host[0]}
-                acc_m = []
-                for k, v in mm.items():
-                    writer.add_scalar(f"syn_train/{k}", v, gcnt)
-                logging.info("epoch=%d bcnt=%d %s", epoch, bcnt,
-                             {k: round(v, 4) for k, v in mm.items()})
-        save_checkpoint(os.path.join(work, "latest.ckpt"), state, epoch + 1)
-        logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+            # batches staged on device from the prefetch thread; metrics kept
+            # on device until the logging boundary; host-side step counter —
+            # per-step device_get is a full RPC round trip on a tunneled TPU
+            with device_prefetch(batch_source(steps_per_epoch)) as staged:
+                for bcnt, batch in enumerate(staged):
+                    state, m = train_step(state, batch)
+                    acc_m.append(m)
+                    gcnt += 1
+                    if gcnt % 10 == 0:
+                        host = jax.device_get(acc_m)
+                        mm = {k: float(np.mean([x[k] for x in host]))
+                              for k in host[0]}
+                        acc_m = []
+                        for k, v in mm.items():
+                            writer.add_scalar(f"syn_train/{k}", v, gcnt)
+                        logging.info("epoch=%d bcnt=%d %s", epoch, bcnt,
+                                     {k: round(v, 4) for k, v in mm.items()})
+            save_checkpoint(os.path.join(work, "latest.ckpt"), state, epoch + 1)
+            logging.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+    finally:
+        if pool is not None:
+            pool.close()
 
     # ---- test ----
     eval_step = make_eval_step(wl)

@@ -4,9 +4,14 @@ meaningless on TPU — device placement is handled by jit/sharding)."""
 import argparse
 
 
+_BOOL_WORDS = {
+    "yes": True, "true": True, "t": True, "y": True, "1": True,
+    "no": False, "false": False, "f": False, "n": False, "0": False,
+}
+
+
 def str2bool(v: str) -> bool:
-    if v.lower() in ("yes", "true", "t", "y", "1"):
-        return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
-        return False
-    raise argparse.ArgumentTypeError("Boolean value expected.")
+    try:
+        return _BOOL_WORDS[v.strip().lower()]
+    except KeyError:
+        raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
