@@ -90,19 +90,23 @@ def prefetch(it: Iterator, depth: int = 4) -> Prefetcher:
     return Prefetcher(it, depth)
 
 
-def device_prefetch(it: Iterator, depth: int = 3) -> Prefetcher:
+def device_prefetch(it: Iterator, depth: int = 3,
+                    put: Optional[Callable] = None) -> Prefetcher:
     """Prefetch batches AND stage them on the default device.
 
     The device_put runs in the prefetch thread, so the host->device
     transfer (expensive over a remote-device transport) overlaps with the
     accelerator executing the previous step instead of serializing in
-    front of every dispatch.
+    front of every dispatch.  ``put`` overrides the placement (e.g. the
+    mesh-sharding put from ``prepare_mesh_training``).
     """
     import jax
 
+    put = put or jax.device_put
+
     def staged():
         for b in it:
-            yield jax.device_put(b)
+            yield put(b)
 
     return Prefetcher(staged(), depth)
 

@@ -23,6 +23,23 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def parse_mesh_spec(spec: str) -> Tuple[int, int]:
+    """Parse a trainer ``--mesh`` flag value \"DPxTP\" (e.g. \"8x1\", \"4x2\").
+
+    ``\"auto\"`` means pure DP over all visible devices.
+    """
+    if spec == "auto":
+        return len(jax.devices()), 1
+    parts = spec.lower().split("x")
+    if len(parts) != 2:
+        raise ValueError(
+            f"mesh spec must be DPxTP (e.g. 8x1 or 4x2), got {spec!r}")
+    dp, tp = int(parts[0]), int(parts[1])
+    if dp < 1 or tp < 1:
+        raise ValueError(f"mesh axes must be >= 1, got {spec!r}")
+    return dp, tp
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               axis_names: Sequence[str] = ("data", "model"),
               devices=None) -> Mesh:

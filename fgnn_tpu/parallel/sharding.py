@@ -25,27 +25,16 @@ def batch_sharding(mesh: Mesh, ndim: int, batched: bool = True) -> NamedSharding
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
-def shard_batch(batch: dict, mesh: Mesh, batch_size: int | None = None) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, batch_size: int) -> dict:
     """Device-put a batch dict with the batch axis over 'data'.
 
-    Arrays whose leading dim equals the batch size (and divides the data
-    axis) shard; anything else (shared graph tables, scalars) replicates.
-    batch_size defaults to the largest leading dim that divides the data
-    axis across the dict — pass it explicitly when ambiguous.
+    Arrays whose leading dim equals ``batch_size`` (which must divide the
+    data axis) shard; anything else (shared graph tables, scalars)
+    replicates.  The batch size is explicit — guessing it from leading
+    dims silently mis-shards any batch where a table dim collides with it.
     """
     dp = mesh.shape["data"]
     arrays = {k: np.asarray(v) for k, v in batch.items()}
-    if batch_size is None:
-        from collections import Counter
-
-        candidates = [a.shape[0] for a in arrays.values()
-                      if a.ndim >= 1 and a.shape[0] % dp == 0 and a.shape[0] >= dp]
-        if candidates:
-            counts = Counter(candidates)
-            top = counts.most_common(1)[0][1]
-            batch_size = min(k for k, c in counts.items() if c == top)
-        else:
-            batch_size = 0
 
     def put(x):
         batched = (x.ndim >= 1 and x.shape[0] == batch_size
@@ -76,3 +65,20 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params/batch_stats via the TP param
+    rules (1-D stats replicate), opt_state and the step counter replicated
+    (the optimizer runs on the optax.flatten'd vector)."""
+    rep = NamedSharding(mesh, P())
+
+    def put_rep(x):
+        return jax.device_put(x, rep) if hasattr(x, "ndim") else x
+
+    return state.replace(
+        params=shard_params(state.params, mesh),
+        batch_stats=shard_params(state.batch_stats, mesh),
+        opt_state=jax.tree.map(put_rep, state.opt_state),
+        gcnt=jax.device_put(state.gcnt, rep),
+    )

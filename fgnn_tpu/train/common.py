@@ -140,6 +140,34 @@ def load_checkpoint(path: str, state: TrainState):
     return state, payload["epoch"], payload.get("extra", {})
 
 
+def prepare_mesh_training(mesh_spec: str, state: TrainState,
+                          batch_size: int, devices=None):
+    """Set up sharded training for a trainer's ``--mesh DPxTP`` flag.
+
+    Builds the (data, model) mesh, places the train state (params TP-
+    sharded where wide, everything else replicated), and returns a
+    ``put`` callable that shards incoming batches on the data axis.
+    This is THE multi-device entry path — the trainer CLIs and the
+    driver's multichip dryrun both go through it.
+
+    Returns (mesh, sharded_state, put).
+    """
+    from ..parallel import make_mesh, parse_mesh_spec, shard_batch, shard_state
+
+    dp, tp = parse_mesh_spec(mesh_spec)
+    mesh = make_mesh((dp, tp), devices=devices)
+    if batch_size % dp != 0:
+        raise ValueError(
+            f"batch size {batch_size} must divide the data axis ({dp}) "
+            f"of mesh {mesh_spec!r}")
+    state = shard_state(state, mesh)
+
+    def put(batch):
+        return shard_batch(batch, mesh, batch_size)
+
+    return mesh, state, put
+
+
 def global_norm(tree) -> float:
     return float(jnp.sqrt(sum(jnp.sum(jnp.square(x))
                               for x in jax.tree.leaves(tree))))

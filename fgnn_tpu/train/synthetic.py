@@ -226,6 +226,20 @@ def train_and_eval(workload: str, args):
     if args.model_path and os.path.exists(args.model_path):
         state, start_epoch, _ = load_checkpoint(args.model_path, state)
 
+    # --mesh DPxTP: shard training over a device mesh (batch axis = DP,
+    # wide filter banks = TP); the static graph tables replicate.
+    mesh_put = None
+    if getattr(args, "mesh", ""):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .common import prepare_mesh_training
+
+        mesh, state, mesh_put = prepare_mesh_training(
+            args.mesh, state, args.batch_size)
+        wl.static = {k: jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+                     for k, v in wl.static.items()}
+        logging.info("sharded training over mesh %s", dict(mesh.shape))
+
     gcnt = int(state.gcnt)
     try:
         for epoch in range(start_epoch, args.train_epoches):
@@ -238,7 +252,8 @@ def train_and_eval(workload: str, args):
             # batches staged on device from the prefetch thread; metrics kept
             # on device until the logging boundary; host-side step counter —
             # per-step device_get is a full RPC round trip on a tunneled TPU
-            with device_prefetch(batch_source(steps_per_epoch)) as staged:
+            with device_prefetch(batch_source(steps_per_epoch),
+                                 put=mesh_put) as staged:
                 for bcnt, batch in enumerate(staged):
                     state, m = train_step(state, batch)
                     acc_m.append(m)
@@ -297,4 +312,7 @@ def parse_args(argv=None, workload: str = "fixed"):
                    help="pre-generated .npz dataset (fgnn_tpu.data.generate)")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 compute policy (f32 params/stats)")
+    p.add_argument("--mesh", type=str, default="",
+                   help="DPxTP device mesh for sharded training "
+                        "(e.g. 8x1, 4x2, or 'auto'); empty = single device")
     return p.parse_args(argv)

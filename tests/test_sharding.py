@@ -30,7 +30,7 @@ def test_shard_batch_places_batch_axis(devices):
         "x": np.zeros((16, 96, 2), np.float32),
         "table": np.zeros((96, 3), np.int32),  # shared, not batched
     }
-    sb = shard_batch(batch, mesh)
+    sb = shard_batch(batch, mesh, batch_size=16)
     assert sb["x"].sharding.spec == P("data", None, None)
     assert sb["table"].sharding.spec == P()
 
