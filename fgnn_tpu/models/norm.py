@@ -102,7 +102,9 @@ class BatchNorm(nn.Module):
             reduce_axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)  # stats always in f32 (bf16 policy safe)
             mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            # two-pass squared-deviation form: E[x^2]-E[x]^2 cancels
+            # catastrophically in f32 when |mean| >> std (torch is stable)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]
