@@ -75,6 +75,39 @@ def sample_to_features(y: np.ndarray, snr_db: float,
     }
 
 
+def batch_to_features(ys: np.ndarray, snr_dbs: np.ndarray,
+                      structure: Optional[LDPCStructure] = None):
+    """Vectorized ``sample_to_features`` over a batch (pure indexing).
+
+    ys: (B, 96) received words; snr_dbs: (B,).  Returns the same dict as
+    stacking B ``sample_to_features`` results (asserted in
+    tests/test_ldpc_data.py) with no per-sample Python loop.
+    """
+    st = structure or default_structure()
+    ys = np.asarray(ys, np.float32)
+    B = ys.shape[0]
+    snr = np.asarray(snr_dbs, np.float32).reshape(B, 1)
+    hop = ys[:, st.factors]                                   # (B, 48, 6)
+    ef_f2v = np.concatenate(
+        [hop[:, st.var_checks],                               # (B, 96, 3, 6)
+         np.broadcast_to(ys[:, :, None, None], (B, N_CODE, st.var_deg, 1))],
+        axis=3).astype(np.float32)                            # (B, 96, 3, 7)
+    ef_v2f = np.concatenate(
+        [np.broadcast_to(hop[:, :, None, :],
+                         (B, K_INFO, st.check_deg, st.check_deg)),
+         hop[..., None]], axis=3).astype(np.float32)          # (B, 48, 6, 7)
+    node = np.stack([ys, np.broadcast_to(snr, ys.shape)], axis=-1)
+    tile = lambda a: np.broadcast_to(a[None], (B,) + a.shape).copy()
+    return {
+        "node_feature": node.astype(np.float32),
+        "hop_feature": hop.astype(np.float32),
+        "nn_idx_f2v": tile(st.var_checks.astype(np.int32)),
+        "nn_idx_v2f": tile(st.factors.astype(np.int32)),
+        "efeature_f2v": ef_f2v,
+        "efeature_v2f": ef_v2f,
+    }
+
+
 def _stack(dicts):
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
@@ -113,7 +146,27 @@ class ContinuousCodesSP:
     def batches(self, batch_size: int) -> Iterator[dict]:
         nb = self.length // batch_size
         for _ in range(nb):
-            yield _stack([self.sample() for _ in range(batch_size)])
+            # channel synthesis stays sequential (RNG stream order matches
+            # per-sample sample()); the feature build is vectorized
+            ys, labels, sbs, snrs = [], [], [], []
+            for _ in range(batch_size):
+                sigma_b = self.rng.choice(self.sigma_b_choices)
+                snr_db = (self.snr if self.snr is not None
+                          else self.rng.choice(self.snr_choices))
+                y, codeword = gen_sample(snr_db, sigma_b,
+                                         burst_prob=self.burst_prob,
+                                         rng=self.rng)
+                ys.append(y)
+                labels.append(codeword)
+                sbs.append(sigma_b)
+                snrs.append(snr_db)
+            feats = batch_to_features(np.stack(ys),
+                                      np.asarray(snrs, np.float32),
+                                      self.structure)
+            feats["label"] = np.stack(labels).astype(np.int32)
+            feats["sigma_b"] = np.asarray(sbs, np.float32)
+            feats["snr_db"] = np.asarray(snrs, np.float32)
+            yield feats
 
 
 @dataclass
@@ -221,13 +274,10 @@ class Codes:
         n = len(self)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = slice(start, start + batch_size)
-            items = []
-            for k in range(start, start + batch_size):
-                y = self.data["noisy_sg"][k].astype(np.float64)
-                feats = sample_to_features(y, float(self.data["snr_dbs"][k]),
-                                           self.structure)
-                feats["label"] = self.data["gts"][k].astype(np.int32)
-                feats["sigma_b"] = np.float32(self.data["sigma_b"][k])
-                feats["snr_db"] = np.float32(self.data["snr_dbs"][k])
-                items.append(feats)
-            yield _stack(items)
+            feats = batch_to_features(self.data["noisy_sg"][idx],
+                                      self.data["snr_dbs"][idx],
+                                      self.structure)
+            feats["label"] = self.data["gts"][idx].astype(np.int32)
+            feats["sigma_b"] = self.data["sigma_b"][idx].astype(np.float32)
+            feats["snr_db"] = self.data["snr_dbs"][idx].astype(np.float32)
+            yield feats

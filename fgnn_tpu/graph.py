@@ -148,6 +148,19 @@ class FactorGraph(struct.PyTreeNode):
     def n_edges(self) -> int:
         return int(self.var_idx.shape[0])
 
+    # ---------------------------------------------------------- conversions
+    def to_coo(self) -> "CooGraph":
+        """This graph as a device CooGraph (v2f direction: src=vars,
+        dst=factors over the [vars ; factors] joint numbering)."""
+        from .ops.segment import CooGraph
+
+        return CooGraph(
+            src=self.var_idx,
+            dst=self.fac_idx + self.n_vars,
+            edge_mask=self.edge_mask,
+            num_nodes=self.n_vars + self.n_factors,
+        )
+
     # ---------------------------------------------------------- message ops
     def v2f(self, var_features, etype, filters, nout, *, aggregator="max",
             gamma=3.0, bias=None):
@@ -164,3 +177,68 @@ class FactorGraph(struct.PyTreeNode):
             fac_features, self.fac_idx, self.var_idx, etype, filters, nout,
             self.n_vars, aggregator=aggregator, gamma=gamma, bias=bias,
             edge_mask=self.edge_mask)
+
+
+def build_joint_coo(tables, efeatures, n_vars_list):
+    """Disjoint-union batch of concat-formulation JOINT graphs -> CooGraph.
+
+    The concat (FactorMPNN) formulation runs one conv over the joint
+    [vars ; factors] node set per sample (reference factor_mpnn.py:106);
+    this builds the flat multi-sample equivalent so heterogeneous graph
+    sizes batch WITHOUT padding to a common (N, K) table — the device-side
+    batching SURVEY.md §7.1 calls for, replacing the reference's
+    ``.repeat(bsize, ...)`` replication.
+
+    tables:      per sample (N_b, K_b) joint neighbor table (rows 0..L_b-1
+                 are variables, rows L_b..N_b-1 are that type's factors,
+                 entries in joint-sample numbering — the layout of
+                 fgnn_tpu.data.tables.pw_factor_table / high_factor_table)
+    efeatures:   per sample (N_b, K_b, C) per-edge features
+    n_vars_list: per sample L_b
+
+    Returns (coo: CooGraph over the VARS-FIRST union numbering
+    [all vars by sample ; all factors by sample], ef_edges (E_total, C),
+    meta dict with var/factor offsets for splitting features back).
+    """
+    from .ops.segment import CooGraph
+
+    graphs = []
+    n_nodes = []
+    for tab, L in zip(tables, n_vars_list):
+        tab = np.asarray(tab)
+        graphs.append(FactorGraph.from_factor_table(
+            tab, n_vars=tab.shape[0]))   # joint-local: var_idx=src, fac=dst
+        n_nodes.append(tab.shape[0])
+    u = FactorGraph.disjoint_union(graphs)   # interleaved union numbering
+
+    n_nodes = np.asarray(n_nodes)
+    n_vars = np.asarray(list(n_vars_list))
+    n_facs = n_nodes - n_vars
+    off = np.concatenate([[0], np.cumsum(n_nodes)])     # interleaved offsets
+    v_off = np.concatenate([[0], np.cumsum(n_vars)])    # vars-first offsets
+    f_off = np.concatenate([[0], np.cumsum(n_facs)])
+    NV, NF = int(v_off[-1]), int(f_off[-1])
+
+    def remap(g):
+        g = np.asarray(g, np.int64)
+        b = np.searchsorted(off, g, side="right") - 1
+        j = g - off[b]
+        is_var = j < n_vars[b]
+        return np.where(is_var, v_off[b] + j,
+                        NV + f_off[b] + (j - n_vars[b])).astype(np.int32)
+
+    src = remap(np.asarray(u.var_idx))
+    dst = remap(np.asarray(u.fac_idx))
+    seg = np.concatenate([
+        np.repeat(np.arange(len(n_vars), dtype=np.int32), n_vars),
+        np.repeat(np.arange(len(n_facs), dtype=np.int32), n_facs)])
+    ef_edges = np.concatenate(
+        [np.asarray(ef).reshape(-1, np.asarray(ef).shape[-1])
+         for ef in efeatures])
+
+    coo = CooGraph(
+        src=jnp.asarray(src), dst=jnp.asarray(dst),
+        edge_mask=u.edge_mask, num_nodes=NV + NF,
+        seg=jnp.asarray(seg), num_segments=len(n_vars_list))
+    meta = dict(n_vars=NV, n_factors=NF, v_off=v_off, f_off=f_off)
+    return coo, jnp.asarray(ef_edges.astype(np.float32)), meta

@@ -20,7 +20,12 @@ from .containers import (
 from .factor_nn import FactorNN
 from .factor_mpnn import FactorMPNN
 from .ldpc_model import LDPCModel, SigmaBRegressor
-from .synthetic import SynFixedModel, SynPwFactorModel, SynHopFactorModel
+from .synthetic import (
+    SynFixedModel,
+    SynPwFactorModel,
+    SynHopFactorModel,
+    SynHopFactorModelCoo,
+)
 from .knn import pairwise_distance, knn_graph, get_nn_node_feature, get_edge_feature
 
 __all__ = [
@@ -31,5 +36,6 @@ __all__ = [
     "IIDBlock", "MPSequential", "ParallelNet", "MPEnsemble", "GlobalPooling",
     "FactorNN", "FactorMPNN", "LDPCModel", "SigmaBRegressor",
     "SynFixedModel", "SynPwFactorModel", "SynHopFactorModel",
+    "SynHopFactorModelCoo",
     "pairwise_distance", "knn_graph", "get_nn_node_feature", "get_edge_feature",
 ]

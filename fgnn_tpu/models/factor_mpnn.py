@@ -28,14 +28,15 @@ from .norm import BatchNorm, Dense, InstanceNorm, leaky_relu
 
 class _PointwiseFallback(nn.Module):
     """Dense + InstanceNorm + ReLU — the no-message-passing branch
-    (factor_mpnn.py:63-66)."""
+    (factor_mpnn.py:63-66).  ``seg``/``num_segments`` route the per-sample
+    InstanceNorm statistics under flat disjoint-union batching."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, seg=None, num_segments: int = 1):
         x = Dense(self.features, name="conv")(x)
-        x = InstanceNorm(name="in")(x)
+        x = InstanceNorm(name="in")(x, seg=seg, num_segments=num_segments)
         return nn.relu(x)
 
 
@@ -64,6 +65,12 @@ class FactorMPNN(nn.Module):
       graph_structures: list over types of (nn_idx, etype) for the JOINT
         [vars ; factors_j] graph — nn_idx (B, N_vars+N_fac_j, K) (or 2D
         shared), etype (B, N_vars+N_fac_j, K, netype_j).
+
+    FLAT (disjoint-union) mode: node_features (N_vars_flat, C), factor
+    features (N_fac_flat_j, C), and each graph structure =
+    (CooGraph over the joint [all vars ; all factors_j] numbering,
+    etype (E_j, netype_j)).  Same parameters, heterogeneous graph sizes
+    batch without padding (fgnn_tpu.graph.FactorGraph is the builder).
 
     Returns (node_logits, per-type factor features), like the reference.
     """
@@ -107,7 +114,14 @@ class FactorMPNN(nn.Module):
                         nout=nout, nedge_types=self.netype_list[jdx], name=name)
                     joint = mod(joint, nn_idx, etype, train=train)
                 else:
-                    joint = _PointwiseFallback(nout, name=name)(joint)
+                    from ..ops.segment import CooGraph
+
+                    seg = (nn_idx.seg if isinstance(nn_idx, CooGraph)
+                           else None)
+                    nseg = (nn_idx.num_segments
+                            if isinstance(nn_idx, CooGraph) else 1)
+                    joint = _PointwiseFallback(nout, name=name)(
+                        joint, seg=seg, num_segments=nseg)
                 cn.append(joint[..., :nnode, :])
                 cf.append(joint[..., nnode:, :])
 

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import Extension, typed_mp_conv
+from ..ops.segment import CooGraph, typed_mp_conv_coo
 from .norm import BatchNorm, Dense, leaky_relu
+
+_COO_EXT = {Extension.NO_EXTENSION: "none",
+            Extension.ORIG_WITH_DIFF: "diff",
+            Extension.ORIG_WITH_NEIGHBOR: "neighbor"}
 
 
 def _filters_init(key, shape):
@@ -52,17 +57,26 @@ class MPConv(nn.Module):
         )
         bias = self.param("bias", _bias_init, (self.nout,)) if self.use_bias else None
 
-        y = typed_mp_conv(
-            x,
-            nn_idx,
-            etype,
-            filters,
-            self.nout,
-            extension=self.extension,
-            aggregator=self.aggregator,
-            gamma=self.gamma,
-            bias=bias,
-        )
+        if isinstance(nn_idx, CooGraph):
+            # flat disjoint-union batch: x (N_flat, C), etype (E, T)
+            g = nn_idx
+            y = typed_mp_conv_coo(
+                x, g.src, g.dst, etype, filters, self.nout, g.num_nodes,
+                aggregator=self.aggregator, gamma=self.gamma, bias=bias,
+                edge_mask=g.edge_mask, extension=_COO_EXT[self.extension],
+            )
+        else:
+            y = typed_mp_conv(
+                x,
+                nn_idx,
+                etype,
+                filters,
+                self.nout,
+                extension=self.extension,
+                aggregator=self.aggregator,
+                gamma=self.gamma,
+                bias=bias,
+            )
         if self.use_bn:
             y = BatchNorm(name="bn")(y, use_running_average=not train)
         if self.activation == "relu":

@@ -121,16 +121,29 @@ class InstanceNorm(nn.Module):
     """torch.nn.InstanceNorm2d defaults on (B, N, C): per (b, c) over N.
 
     affine=False, track_running_stats=False — stateless, train == eval.
+
+    For flat disjoint-union batches (x (N_flat, C)) pass ``seg`` (the
+    per-node sample id, -1 for padding) and ``num_segments``: statistics
+    are then per (sample, channel), matching the dense per-sample form.
     """
 
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, seg=None, num_segments: int = 1):
         xf = x.astype(jnp.float32)  # stats always in f32 (bf16 policy safe)
-        mean = jnp.mean(xf, axis=-2, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-2, keepdims=True)
-        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        if seg is None:
+            mean = jnp.mean(xf, axis=-2, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-2, keepdims=True)
+            return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        sid = jnp.where(seg >= 0, seg, num_segments)     # padding -> extra bin
+        nb = num_segments + 1
+        cnt = jnp.maximum(
+            jax.ops.segment_sum(jnp.ones_like(sid, jnp.float32), sid, nb), 1.0)
+        mean = jax.ops.segment_sum(xf, sid, nb) / cnt[:, None]
+        dev = xf - mean[sid]
+        var = jax.ops.segment_sum(jnp.square(dev), sid, nb) / cnt[:, None]
+        return (dev * jax.lax.rsqrt(var[sid] + self.eps)).astype(x.dtype)
 
 
 def leaky_relu(x, negative_slope: float = 0.01):

@@ -143,3 +143,37 @@ class SynHopFactorModel(nn.Module):
         )(node_feature, [pws, hops],
           [(nn_idx_pw, etype_pw), (nn_idx_high, etype_high)], train=train)
         return out
+
+
+class SynHopFactorModelCoo(nn.Module):
+    """Flat disjoint-union variant of :class:`SynHopFactorModel`.
+
+    Heterogeneous chain lengths batch WITHOUT padding through the
+    FactorGraph COO IR (fgnn_tpu.graph.build_joint_coo); the parameter
+    tree is IDENTICAL to SynHopFactorModel, so variables transplant both
+    ways (asserted in tests/test_coo_batching.py).
+
+    __call__ inputs (flat, vars-first union numbering):
+      node_feature (NV, 2); pws (NF_pw, 4); hops (NF_hi, hop_order);
+      coo_pw / coo_high: CooGraph over each type's joint numbering;
+      ef_pw (E_pw, 3) / ef_high (E_hi, 2): per-edge features.
+    Returns flat logits (NV, 2).
+    """
+
+    hop_order: int = 9
+    netypes: int = 16
+    dims: Sequence[int] = FMPNN_DIMS
+
+    @nn.compact
+    def __call__(self, node_feature, pws, hops, coo_pw, ef_pw,
+                 coo_high, ef_high, train: bool = True):
+        etype_pw = MLP([64, self.netypes], name="emodel_pw")(ef_pw)
+        etype_high = MLP([64, self.netypes], name="emodel_high")(ef_high)
+        out, _ = FactorMPNN(
+            factor_feature_dims=(4, self.hop_order),
+            dim_mapping_list=tuple(self.dims),
+            netype_list=(self.netypes, self.netypes),
+            name="fmpnn",
+        )(node_feature, [pws, hops],
+          [(coo_pw, etype_pw), (coo_high, etype_high)], train=train)
+        return out

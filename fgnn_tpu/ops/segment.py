@@ -16,8 +16,34 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 _NEG_INF = -1e30
+
+
+class CooGraph(struct.PyTreeNode):
+    """Flat COO graph batch — the device-side form of one or more
+    :class:`fgnn_tpu.graph.FactorGraph`s after disjoint union.
+
+    Passed to MPConv/FactorMPNN IN PLACE of a dense ``nn_idx`` table: the
+    modules dispatch on the type and run the segment kernels over the flat
+    node set, so heterogeneous graphs batch without padding to a common
+    (N, K) shape.
+
+    src/dst:   (E,) int32 edge endpoints into the flat joint node set
+    edge_mask: (E,) bool (False = padding edge)
+    num_nodes: static flat node count (== num segments of the aggregation)
+    seg:       (num_nodes,) int32 sample id per node (for per-sample
+               InstanceNorm under disjoint-union batching); -1 for padding
+    num_segments: static number of samples in the union
+    """
+
+    src: jax.Array
+    dst: jax.Array
+    edge_mask: Optional[jax.Array] = None
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    seg: Optional[jax.Array] = None
+    num_segments: int = struct.field(pytree_node=False, default=1)
 
 
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
@@ -66,20 +92,41 @@ def typed_mp_conv_coo(
     gamma: float = 3.0,
     bias: Optional[jax.Array] = None,
     edge_mask: Optional[jax.Array] = None,
+    extension: str = "none",
 ) -> jax.Array:
-    """COO-form NO_EXTENSION typed message passing (single graph).
+    """COO-form typed message passing (single flat graph).
 
-    x:       (N_src, C_in)
+    x:       (N_src, C_in)  (extensions require N_src == num_dst node set)
     src/dst: (E,) int edge endpoints
     etype:   (E, T)
-    filters: (C_in, nout*T), column layout c_out * T + t
+    filters: (C_in, nout*T), column layout c_out * T + t; (2*C_in, nout*T)
+             for the extensions (reference mp_nn.py:136-159)
     edge_mask: (E,) optional bool; masked edges are dropped (identity of the
                aggregation: -inf for max, 0 for sum/mean).
+    extension: 'none' | 'diff' ([x_i ; x_i - x_j]) | 'neighbor'
+               ([x_i ; x_j]) — same factorization as the dense path
+               (typed_mp.typed_mp_conv): matmuls run per NODE, the edge
+               stage is gather + add.
     returns  (num_dst, nout)
     """
     T = etype.shape[-1]
-    h = (x @ filters).reshape(-1, nout, T)            # (N_src, nout, T)
-    msgs = jnp.einsum("ect,et->ec", h[src], etype)    # (E, nout)
+    if extension == "none":
+        h = (x @ filters).reshape(-1, nout, T)        # (N_src, nout, T)
+        he = h[src]                                    # (E, nout, T)
+    elif extension in ("diff", "neighbor"):
+        cin = x.shape[-1]
+        w_self, w_nbr = filters[:cin], filters[cin:]
+        if extension == "diff":
+            a = x @ (w_self + w_nbr)
+            sign = -1.0
+        else:
+            a = x @ w_self
+            sign = 1.0
+        b = x @ w_nbr
+        he = (a[dst] + sign * b[src]).reshape(-1, nout, T)
+    else:
+        raise ValueError(f"unknown extension {extension!r}")
+    msgs = jnp.einsum("ect,et->ec", he, etype)         # (E, nout)
 
     if aggregator == "max":
         if edge_mask is not None:

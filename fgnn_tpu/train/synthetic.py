@@ -89,6 +89,26 @@ class SynWorkload:
                 "nn_idx_high": jnp.asarray(nn_high),
                 "ef_high": jnp.asarray(ef_high),
             }
+        elif workload == "hop" and getattr(args, "coo", False):
+            # flat disjoint-union batching through the FactorGraph COO IR:
+            # the model/params are identical to the dense path (see
+            # tests/test_coo_batching.py); uniform L here, but the same
+            # graphs batch heterogeneous lengths without padding
+            from ..graph import build_joint_coo
+            from ..models.synthetic import SynHopFactorModelCoo
+
+            B = args.batch_size
+            nn_pw, ef_pw = pw_factor_table(L)
+            nn_high, ef_high = high_factor_table(L, args.hop_order)
+            coo_pw, efe_pw, _ = build_joint_coo([nn_pw] * B, [ef_pw] * B,
+                                                [L] * B)
+            coo_hi, efe_hi, _ = build_joint_coo([nn_high] * B, [ef_high] * B,
+                                                [L] * B)
+            self.model = SynHopFactorModelCoo(hop_order=args.hop_order,
+                                              **dim_kw)
+            self.workload = "hop_coo"
+            self.static = {"coo_pw": coo_pw, "ef_pw": efe_pw,
+                           "coo_high": coo_hi, "ef_high": efe_hi}
         elif workload == "hop":
             self.model = SynHopFactorModel(hop_order=args.hop_order, **dim_kw)
             nn_pw, ef_pw = pw_factor_table(L)
@@ -107,6 +127,11 @@ class SynWorkload:
         if self.workload == "pw":
             return {"node_feature": batch["node_feature"],
                     "pws": batch["pws"], **self.static}
+        if self.workload == "hop_coo":
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+            return {"node_feature": flat(batch["node_feature"]),
+                    "pws": flat(batch["pws"]),
+                    "hops": flat(batch["efeature_hop"]), **self.static}
         return {"node_feature": batch["node_feature"], "pws": batch["pws"],
                 "hops": batch["efeature_hop"], **self.static}
 
@@ -147,8 +172,11 @@ def make_train_step(wl: SynWorkload, tx):
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        lp_acc = jnp.mean((batch["lp_label"] == labels).astype(jnp.float32))
+        # labels follow the logits layout ((B, L) dense or (B*L,) flat COO)
+        lab = labels.reshape(logits.shape[:-1])
+        lp = batch["lp_label"].reshape(logits.shape[:-1])
+        acc = jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
+        lp_acc = jnp.mean((lp == lab).astype(jnp.float32))
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt, gcnt=state.gcnt + 1), \
             {"loss": loss, "acc": acc, "lp_acc": lp_acc}
@@ -279,7 +307,8 @@ def train_and_eval(workload: str, args):
     accs, lp_accs = [], []
     # eval always draws fresh oracle-labelled samples
     for batch in batches(wl.dataset, args.batch_size, eval_batches):
-        pred = np.asarray(eval_step(state, batch))
+        pred = np.asarray(eval_step(state, batch)).reshape(
+            batch["label"].shape)
         accs.append((pred == batch["label"]).mean())
         lp_accs.append((batch["lp_label"] == batch["label"]).mean())
     acc, lp_acc = float(np.mean(accs)), float(np.mean(lp_accs))
@@ -315,4 +344,7 @@ def parse_args(argv=None, workload: str = "fixed"):
     p.add_argument("--mesh", type=str, default="",
                    help="DPxTP device mesh for sharded training "
                         "(e.g. 8x1, 4x2, or 'auto'); empty = single device")
+    p.add_argument("--coo", action="store_true", default=False,
+                   help="(hop) batch via the FactorGraph COO disjoint union "
+                        "instead of dense (B, N, K) tables")
     return p.parse_args(argv)

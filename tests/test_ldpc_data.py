@@ -193,3 +193,31 @@ def test_continuous_codes_joint_batches():
     assert b["efeature"].shape == (4, 144, 6, 7)
     assert b["label"].shape == (4, 96)
     assert set(np.unique(b["label"])) <= {0, 1}
+
+
+def test_batch_to_features_matches_per_sample():
+    """Vectorized feature build == stacked per-sample sample_to_features,
+    and the vectorized ContinuousCodesSP.batches stream is unchanged
+    (same RNG order as per-sample .sample())."""
+    from fgnn_tpu.data import ContinuousCodesSP
+    from fgnn_tpu.data.ldpc_datasets import (
+        _stack,
+        batch_to_features,
+        sample_to_features,
+    )
+
+    rng = np.random.RandomState(42)
+    ys = rng.randn(5, 96).astype(np.float32)
+    snrs = np.asarray([0, 1, 2, 3, 4], np.float32)
+    batched = batch_to_features(ys, snrs)
+    stacked = _stack([sample_to_features(ys[i], float(snrs[i]))
+                      for i in range(5)])
+    assert set(batched) == set(stacked)
+    for k in stacked:
+        np.testing.assert_array_equal(batched[k], stacked[k], err_msg=k)
+
+    a = next(ContinuousCodesSP(length=4, seed=7).batches(4))
+    ref_ds = ContinuousCodesSP(length=4, seed=7)
+    b = _stack([ref_ds.sample() for _ in range(4)])
+    for k in b:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
