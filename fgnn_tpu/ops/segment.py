@@ -139,8 +139,15 @@ def typed_mp_conv_coo(
         out = segment_logsumexp(msgs, dst, num_dst, gamma)
     elif aggregator == "mean":
         if edge_mask is not None:
+            # denominator counts VALID edges only (padding edges contribute
+            # neither to the sum nor the count), matching
+            # parallel/edge_partition.py and parallel/halo.py
             msgs = jnp.where(edge_mask[:, None], msgs, 0.0)
-        out = segment_mean(msgs, dst, num_dst)
+            s = segment_sum(msgs, dst, num_dst)
+            cnt = segment_sum(edge_mask.astype(msgs.dtype), dst, num_dst)
+            out = s / jnp.maximum(cnt, 1.0)[:, None]
+        else:
+            out = segment_mean(msgs, dst, num_dst)
     elif aggregator == "sum":
         if edge_mask is not None:
             msgs = jnp.where(edge_mask[:, None], msgs, 0.0)

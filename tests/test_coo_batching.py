@@ -172,7 +172,7 @@ def test_hop_trainer_coo_mode_matches_dense(rng):
     def make_args(coo):
         return argparse.Namespace(
             chain_length=10, hop_cap=5, hop_order=HOP, model_name="mp_nn_factor",
-            neighbour=8, batch_size=4, seed=3, coo=coo, dims=(8, 8, 16, 8))
+            neighbour=8, batch_size=4, seed=3, coo=coo, dims=(8, 8, 16, 2))
 
     losses = {}
     for coo in (False, True):

@@ -39,6 +39,31 @@ def test_partitioned_matches_single_device(mesh, aggregator, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("aggregator", ["max", "sum", "mean", "softmax"])
+def test_masked_single_device_matches_unpadded(aggregator, rng):
+    """The single-device COO path WITH a padding mask equals the unpadded
+    run — pins ops/segment.py's masked semantics (notably the masked-mean
+    denominator counting only valid edges) to edge_partition/halo's."""
+    Ns, Nd, E, Cin, Cout, T = 20, 9, 53, 6, 5, 3
+    x = rng.randn(Ns, Cin).astype(np.float32)
+    src = rng.randint(0, Ns, E).astype(np.int32)
+    dst = rng.randint(0, Nd, E).astype(np.int32)
+    etype = rng.randn(E, T).astype(np.float32)
+    W = rng.randn(Cin, Cout * T).astype(np.float32)
+
+    ref = typed_mp_conv_coo(
+        jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(etype), jnp.asarray(W), Cout, Nd, aggregator=aggregator)
+
+    srcp, dstp, etp, mask = pad_edges(src, dst, etype, 8)
+    got = typed_mp_conv_coo(
+        jnp.asarray(x), jnp.asarray(srcp), jnp.asarray(dstp),
+        jnp.asarray(etp), jnp.asarray(W), Cout, Nd, aggregator=aggregator,
+        edge_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_empty_segments(mesh, rng):
     """Destinations with no edges must aggregate to 0 under max."""
     Ns, Nd, E, Cin, Cout, T = 10, 8, 16, 4, 3, 2
