@@ -1,8 +1,13 @@
 #!/usr/bin/env python
-"""fgnn_tpu benchmark — edges/s on the flagship LDPC FactorNN train step.
+"""fgnn_tpu benchmark — edges/s on the flagship workloads.
 
-Prints ONE JSON line:
+Prints one JSON line per workload, the LAST being the driver-tracked
+flagship LDPC train-step metric:
   {"metric": "edges_per_s", "value": N, "unit": "edges/s", "vs_baseline": N}
+
+The preceding line reports BASELINE.md's primary metric — edges/s on
+RPGM MAP inference (the SynHopFactorModel forward at the reference
+configuration, metric "rpgm_edges_per_s").
 
 The metric counts typed-edge messages processed per second by the full
 training step (forward + backward + Adam) of the reference-configuration
@@ -38,6 +43,54 @@ def _readback(x):
     return float(jax.tree.leaves(x)[0].ravel()[0])
 
 
+def _time_steps(step, iters):
+    """Best-of-3 per-step time with one forced readback per trial and the
+    bare readback round-trip subtracted (see methodology note above)."""
+    out = step()
+    _readback(out)
+    t0 = time.perf_counter()
+    _readback(out)
+    rtt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step()
+        _readback(out)
+        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+    return best
+
+
+def bench_rpgm(batch_size, iters, L=30, hop=9):
+    """BASELINE.md primary metric: edges/s on RPGM MAP inference
+    (SynHopFactorModel forward, reference configuration)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fgnn_tpu.data.tables import high_factor_table, pw_factor_table
+    from fgnn_tpu.models import SynHopFactorModel
+
+    rng = np.random.RandomState(0)
+    nn_pw, ef_pw = pw_factor_table(L)
+    nn_hi, ef_hi = high_factor_table(L, hop)
+    args = (jnp.asarray(rng.rand(batch_size, L, 2).astype(np.float32)),
+            jnp.asarray(rng.rand(batch_size, L, 4).astype(np.float32)),
+            jnp.asarray(rng.rand(batch_size, L, hop).astype(np.float32)),
+            jnp.asarray(nn_pw), jnp.asarray(ef_pw),
+            jnp.asarray(nn_hi), jnp.asarray(ef_hi))
+    model = SynHopFactorModel(hop_order=hop)
+    variables = jax.jit(lambda *a: model.init(*a, train=False))(
+        jax.random.PRNGKey(0), *args)
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a, train=False))
+    dt = _time_steps(lambda: fwd(variables, *args), iters)
+    # 6 message-passing layers (the rest of the 10 dim transitions are
+    # pointwise fallbacks per the factor_mpnn layer rule) x joint-graph
+    # edges per type (pw: 2L dsts x K=2; hop: 2L x K=9)
+    edges = 6 * (2 * L * 2 + 2 * L * hop) * batch_size
+    return edges / dt
+
+
 def main():
     import jax
 
@@ -58,6 +111,14 @@ def main():
 
         set_compute_dtype(jnp.bfloat16)
 
+    if os.environ.get("FGNN_BENCH_SKIP_RPGM") != "1":
+        rpgm_eps = bench_rpgm(batch_size, iters)
+        print(json.dumps({
+            "metric": "rpgm_edges_per_s",
+            "value": round(rpgm_eps, 1),
+            "unit": "edges/s",
+        }))
+
     ds = ContinuousCodesSP(length=batch_size, seed=0)
     batch = jax.device_put(next(ds.batches(batch_size)))
 
@@ -70,26 +131,16 @@ def main():
     edges_per_sample = (96 * 3 + 48 * 6 + 96 + 96) * n_layers
     edges_per_step = edges_per_sample * batch_size
 
-    # warmup / compile, with forced readback
-    for _ in range(3):
+    # warmup / compile (two extra steps beyond _time_steps's own warmup)
+    for _ in range(2):
         state, m = train_step(state, batch)
-    _readback(m["loss"])
+    holder = {"state": state}
 
-    # estimate the bare readback round-trip so it can be subtracted
-    t0 = time.perf_counter()
-    _readback(m["loss"])
-    rtt = time.perf_counter() - t0
+    def step():
+        holder["state"], m = train_step(holder["state"], batch)
+        return m["loss"]
 
-    best = float("inf")
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = train_step(state, batch)
-        _readback(m["loss"])
-        dt = (time.perf_counter() - t0 - rtt) / iters
-        best = min(best, dt)
-
-    edges_per_s = edges_per_step / best
+    edges_per_s = edges_per_step / _time_steps(step, iters)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")

@@ -90,6 +90,38 @@ def bench_halo(args, x, src, dst, et, W, mesh, n):
     return dt, plan
 
 
+def bench_model(args, x, src, dst, et_feature, mesh, n):
+    """The CONSUMED halo mode: MPConv (the flax layer) dispatching on a
+    HaloGraph — emodel etype -> shard_etype -> halo_typed_mp_coo -> bias,
+    exactly the path a large-graph model runs."""
+    import jax.numpy as jnp
+
+    from fgnn_tpu.models.mp_conv import MPConv
+    from fgnn_tpu.ops import Extension
+    from fgnn_tpu.ops.segment import CooGraph
+    from fgnn_tpu.parallel import HaloGraph, build_halo_plan
+
+    conv = MPConv(nout=args.cout, nedge_types=args.etypes, aggregator="max",
+                  extension=Extension.NO_EXTENSION, use_bn=False)
+    xj = jnp.asarray(x)
+    etj = jnp.asarray(et_feature)
+    if n == 1:
+        g = CooGraph(src=jnp.asarray(src), dst=jnp.asarray(dst),
+                     num_nodes=args.dst_nodes)
+        plan = None
+    else:
+        plan = build_halo_plan(src, dst, args.nodes, args.dst_nodes, n)
+        g = HaloGraph(plan=plan, mesh=mesh)
+    variables = jax.jit(lambda xx, ee: conv.init(
+        jax.random.PRNGKey(0), xx, g, ee, train=False))(xj, etj)
+
+    @jax.jit
+    def step(v, xx, ee):
+        return conv.apply(v, xx, g, ee, train=False)
+
+    return time_step(lambda: step(variables, xj, etj), args.iters), plan
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=131072)
@@ -100,7 +132,7 @@ def main():
     p.add_argument("--etypes", type=int, default=4)
     p.add_argument("--aggregator", default="max")
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--mode", choices=["replicated", "halo", "both"],
+    p.add_argument("--mode", choices=["replicated", "halo", "model", "both"],
                    default="both")
     p.add_argument("--locality", type=int, default=4096,
                    help="edge dst window around src (0 = fully random)")
@@ -136,6 +168,10 @@ def main():
                 dt = bench_replicated(args, x, src, dst, et, W, mesh, n)
                 # ring all-reduce of the (dst, cout) partials per aggregator
                 comm_bytes = (2 * (n - 1) / n) * args.dst_nodes * args.cout * 4
+            elif mode == "model":
+                dt, plan = bench_model(args, x, src, dst, et, mesh, n)
+                halo_rows = plan.comm_rows_per_device if plan else 0
+                comm_bytes = halo_rows * args.cin * 4
             else:
                 dt, plan = bench_halo(args, x, src, dst, et, W, mesh, n)
                 halo_rows = plan.comm_rows_per_device

@@ -57,7 +57,26 @@ class MPConv(nn.Module):
         )
         bias = self.param("bias", _bias_init, (self.nout,)) if self.use_bias else None
 
-        if isinstance(nn_idx, CooGraph):
+        from ..parallel.halo import HaloGraph, halo_typed_mp_coo
+
+        if isinstance(nn_idx, HaloGraph):
+            # halo-partitioned large graph: x (n_src, C) flat, etype (E, T)
+            # in original edge order; sources row-shard over the mesh and
+            # boundary rows ride one all_to_all (parallel/halo.py).
+            # Returns (D * dst_block, nout) row-sharded; rows >= plan.n_dst
+            # are padding — use shard-divisible n_dst (or train=False) so
+            # BatchNorm batch statistics see no padding rows.
+            if self.extension != Extension.NO_EXTENSION:
+                raise NotImplementedError(
+                    "halo mode implements NO_EXTENSION message passing")
+            g = nn_idx
+            et_loc, et_rem = g.shard_etype(etype)
+            y = halo_typed_mp_coo(
+                g.pad_and_shard_src(x), et_loc, et_rem, filters, self.nout,
+                g.plan, g.mesh, axis=g.axis, aggregator=self.aggregator,
+                gamma=self.gamma, bias=bias,
+            )
+        elif isinstance(nn_idx, CooGraph):
             # flat disjoint-union batch: x (N_flat, C), etype (E, T)
             g = nn_idx
             y = typed_mp_conv_coo(

@@ -209,7 +209,54 @@ def _combine(pl, pr, aggregator, gamma):
     m = jnp.maximum(pl[0], pr[0])
     s = (pl[1] * jnp.exp(gamma * (pl[0] - m))
          + pr[1] * jnp.exp(gamma * (pr[0] - m)))
+    # destinations with no edge at all: match segment_logsumexp's
+    # empty-segment value (max clamped to 0 -> log(1e-30)/gamma)
+    m = jnp.where(m <= _NEG / 2, 0.0, m)
     return m + jnp.log(jnp.maximum(s, 1e-30)) / gamma
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloGraph:
+    """Halo-partitioned graph handle consumed by model layers.
+
+    Passed to :class:`fgnn_tpu.models.mp_conv.MPConv` IN PLACE of a dense
+    ``nn_idx`` table (the same dispatch pattern as
+    :class:`fgnn_tpu.ops.segment.CooGraph`): the layer then runs
+    :func:`halo_typed_mp_coo` — row-sharded sources, one all_to_all of the
+    boundary rows, local segment aggregation — instead of the dense or flat
+    single-device kernels.  This is the large-graph scaling mode of
+    SURVEY.md §2.6/§7.5 surfaced as a first-class model input.
+
+    Everything here is trace-static (numpy plan + mesh), so a module
+    argument of this type behaves like the static dense tables: close over
+    it or mark it static when jitting.
+
+    ``etype`` still arrives per-edge ``(E, T)`` in the ORIGINAL edge order
+    (exactly what the emodel MLPs produce); the layer reorders it into the
+    plan's local/remote shards device-side via :meth:`shard_etype`.
+    """
+
+    plan: HaloPlan
+    mesh: Mesh
+    axis: str = "data"
+
+    def __hash__(self):
+        return hash((id(self.plan), self.mesh, self.axis))
+
+    def shard_etype(self, etype: jax.Array):
+        """Device-side (E, T) -> plan-ordered (D, EL, T) / (D, ER, T)."""
+        p = self.plan
+        loc = etype[p.perm_loc] * p.mask_loc[..., None].astype(etype.dtype)
+        rem = etype[p.perm_rem] * p.mask_rem[..., None].astype(etype.dtype)
+        return loc, rem
+
+    def pad_and_shard_src(self, x: jax.Array) -> jax.Array:
+        """Pad (n_src, C) to (D*Ns, C) and place row-sharded on the mesh."""
+        from jax.sharding import NamedSharding
+
+        xp = self.plan.pad_src(x)
+        return jax.lax.with_sharding_constraint(
+            xp, NamedSharding(self.mesh, P(self.axis)))
 
 
 def halo_typed_mp_coo(
