@@ -51,6 +51,20 @@ def _use_pallas() -> bool:
     return False
 
 
+def _use_fused() -> bool:
+    """Fully-fused forward+backward kernel (ops/fused_mp.py), opt-in via
+    FGNN_FUSED=1.  The v1 kernel (per-batch-element inner loop) is
+    numerically correct everywhere but measured SLOWER than XLA on the
+    full LDPC step (15.7 vs 12.8 ms: 30+ convs x 32 grid programs x 8
+    serialized small matmuls each are latency-bound, see
+    benchmarks/fused_microbench.py) — kept opt-in while the batched-lane
+    v2 formulation lands."""
+    env = os.environ.get("FGNN_FUSED")
+    if env is not None:
+        return env == "1"
+    return False
+
+
 class Extension(enum.Enum):
     """Edge-input construction variants (mp_nn.py:7-10)."""
 
@@ -167,6 +181,18 @@ def typed_mp_conv(
     dtype = x.dtype
 
     if extension == Extension.NO_EXTENSION:
+        if _use_fused():
+            from .fused_mp import fused_supported, fused_typed_mp
+
+            if fused_supported(x.shape, jnp.shape(nn_idx), etype.shape,
+                               aggregator):
+                return fused_typed_mp(
+                    x, nn_idx, etype, filters, nout, aggregator=aggregator,
+                    gamma=gamma, bias=bias,
+                    precision=("float32"
+                               if precision == jax.lax.Precision.HIGHEST
+                               else None))
+
         # Transform at the source (N_src rows), then gather the (nout*T)-dim
         # rows — cheaper than per-edge matmuls whenever K > 1, and the same
         # contraction order as the reference (mp_nn.py:124-134).
