@@ -13,6 +13,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from .base import MLP
@@ -76,10 +77,14 @@ class LDPCModel(nn.Module):
         sig = jax.lax.stop_gradient(node_feature[..., 0])
         gfac_feature = sig.reshape(B, 1, N)  # (B, 1 factor, 96 channels)
 
-        hnn_idx_f2v = jnp.zeros((N, 1), jnp.int32)        # each var sees factor 0
-        hnn_idx_v2f = jnp.arange(N, dtype=jnp.int32).reshape(1, N)  # factor sees all vars
-        hetype_f2v = jnp.ones((B, N, 1, 1), node_feature.dtype)
-        hetype_v2f = jnp.ones((B, 1, N, 1), node_feature.dtype)
+        # numpy (not jnp): these tables are trace-time CONSTANTS, which lets
+        # typed_mp_conv's trivial-gather shortcuts see their values (the f2v
+        # side is a broadcast from one source row, the v2f side an identity
+        # reshape) instead of emitting one-hot gather matmuls per layer.
+        hnn_idx_f2v = np.zeros((N, 1), np.int32)          # each var sees factor 0
+        hnn_idx_v2f = np.arange(N, dtype=np.int32).reshape(1, N)  # factor sees all vars
+        hetype_f2v = np.ones((B, N, 1, 1), np.float32)
+        hetype_v2f = np.ones((B, 1, N, 1), np.float32)
 
         skip = self.skip_link if self.skip_link is not None else {4: 3, 5: 2, 7: 0}
         res, fs = FactorNN(

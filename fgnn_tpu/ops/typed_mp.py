@@ -113,6 +113,44 @@ def _check_idx(nn_idx, n_src: int):
             f"nn_idx out of range [0, {n_src}): min={idx.min()} max={idx.max()}")
 
 
+def _concrete_idx(nn_idx):
+    """Return nn_idx as a host numpy array when it is a trace-time constant
+    (e.g. the LDPC global-factor tables built with jnp.zeros/arange inside
+    the model), else None.  Concrete tables unlock exact structural
+    shortcuts below that skip the one-hot gather matmul entirely."""
+    if isinstance(nn_idx, jax.core.Tracer):
+        return None
+    try:
+        import numpy as np
+
+        return np.asarray(nn_idx)
+    except Exception:
+        return None
+
+
+def _trivial_gather(h, idx_np, n_src: int):
+    """Exact gathers that need no one-hot matmul, for concrete tables:
+
+    * single source (n_src == 1): every edge reads row 0 -> broadcast
+      (the LDPC global-factor f2v direction, train_ldpc.py:40-55);
+    * identity cover (idx.ravel() == arange(n_src)): the edge grid is a
+      pure reshape of the source rows (the global-factor v2f direction).
+
+    Returns (B, Nd, K, M) or None when neither shortcut applies.  Both are
+    bit-exact (a copy, not an MXU contraction).
+    """
+    import numpy as np
+
+    nd, k = idx_np.shape
+    if n_src == 1:
+        return jnp.broadcast_to(
+            h[:, 0][:, None, None, :], (h.shape[0], nd, k, h.shape[-1]))
+    if nd * k == n_src and np.array_equal(
+            idx_np.reshape(-1), np.arange(n_src)):
+        return h.reshape(h.shape[0], nd, k, h.shape[-1])
+    return None
+
+
 def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
     """Gather per-edge source features.
 
@@ -211,6 +249,20 @@ def typed_mp_conv(
                 return out
 
         n_src = x.shape[1]
+        if jnp.ndim(nn_idx) == 2:
+            idx_np = _concrete_idx(nn_idx)
+            if idx_np is not None:
+                hg = _trivial_gather(h, idx_np, n_src)
+                if hg is not None:
+                    hg = hg.reshape(*hg.shape[:-1], nout, T)
+                    msgs = jnp.einsum(
+                        "bnkct,bnkt->bnkc", hg, etype.astype(dtype),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                    out = aggregate(msgs, aggregator, gamma)
+                    if bias is not None:
+                        out = out + bias.astype(out.dtype)
+                    return out
         if jnp.ndim(nn_idx) == 2 and 0 < n_src <= _ONEHOT_MAX_SRC:
             # One-hot MXU gather kept in the dot's NATURAL output layout
             # (Nd, K, B, C): forcing (B, Nd, K, C) here makes XLA insert a
@@ -219,6 +271,11 @@ def typed_mp_conv(
             # transposed back at the end.
             _check_idx(nn_idx, n_src)
             onehot = jax.nn.one_hot(nn_idx, n_src, dtype=dtype)
+            # NOTE (measured on v5e, B=256 LDPC step): pre-transposing x to
+            # source-major (N, B, C) so this dot contracts the leading rhs
+            # axis was tried and is SLOWER (14.1 vs 12.5 ms) — XLA already
+            # handles the (B, N, M) operand better than an explicit
+            # transpose-first formulation.  Keep the dot-natural layout.
             hg = jnp.einsum("dkn,bnm->dkbm", onehot, h,
                             precision=(precision or _GATHER_PRECISION),
                             preferred_element_type=jnp.float32)
