@@ -13,18 +13,27 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def time_fn(fn, *args, iters=50):
+def _readback(x):
+    """Force a real host round-trip (block_until_ready is unreliable
+    through the axon relay — see bench.py methodology note)."""
     import jax
 
+    return float(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def time_fn(fn, *args, iters=50):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
+    t0 = time.perf_counter()
+    _readback(out)
+    rtt = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        _readback(out)
+        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
     return best * 1e3
 
 
@@ -55,6 +64,9 @@ def main():
         w = jnp.asarray(rng.randn(Cin, C * T) * 0.1, jnp.float32)
 
         for agg in ("max",):
+            # typed_mp_conv dispatches to the fused kernel by default on
+            # TPU; pin the env per-trace so both paths are measured.
+            os.environ["FGNN_FUSED"] = "0"
             xla_f = jax.jit(lambda x, et, w: typed_mp_conv(
                 x, nn, et, w, C, extension=Extension.NO_EXTENSION,
                 aggregator=agg))

@@ -1,41 +1,38 @@
-"""Fully-fused Pallas TPU kernel for the typed message-passing conv.
+"""Fused Pallas TPU kernel for the typed message-passing conv (v2).
 
-This is the round-3 replacement for the partial kernel in pallas_mp.py.
-It fuses the ENTIRE NO_EXTENSION typed conv — filter matmul, neighbor
-gather, edge-type mixing and K-aggregation — into one VMEM-resident
-kernel per batch tile, with a custom VJP whose backward is a second
-Pallas kernel that RECOMPUTES the per-edge messages instead of saving
-them.  Nothing larger than (B, N, C) ever touches HBM.
+Fuses the neighbor gather, edge-type mixing and K-aggregation of the
+NO_EXTENSION typed conv (reference math:
+/root/reference/lib/model/mpnn/mp_nn.py:115-175) into VMEM-resident
+kernels with a custom VJP, so the gathered per-edge tensor
+``hg (Nd, K, B, C*T)`` — 75-151 MB per conv at the flagship LDPC config,
+and the dominant HBM traffic of the XLA lowering — never exists in HBM,
+in either the forward or the backward pass.
 
-Why: the XLA lowering of :func:`fgnn_tpu.ops.typed_mp_conv` materializes
-the gathered (Nd, K, B, C*T) tensor in HBM (75-300 MB per layer at the
-LDPC flagship config) and its backward materializes the matching
-outer-product cotangent — measured 8.7 ms of the 12.8 ms train step is
-that HBM traffic (benchmarks/bisect_step.py).  Reference math:
-/root/reference/lib/model/mpnn/mp_nn.py:115-175.
+v2 design (replaces the round-3 per-sample kernel, which lost to XLA —
+15.7 vs 12.8 ms — because each grid program ran 8 serialized per-sample
+matmuls):
 
-Kernel formulation (per batch element b):
+  * **Lane-batched**: a tile of ``bT`` batch elements rides the LANE
+    dimension of every matmul.  The gather is ``onehot (E, N) @
+    h_t (N, bT*C)`` — one MXU dot per edge type per tile covering the
+    whole tile, not per-sample loops.
+  * **2D-only Mosaic surface**: every in-kernel array is 2D or indexed
+    down to 2D by a leading index; no reshapes of vector values (the
+    operation Mosaic restricts).  Layouts are prepared outside by XLA
+    (cheap (T, N, B*C) / (T, E, B) transposes that stay inside the
+    autodiff graph).
+  * **Recompute backward**: the backward kernel recomputes the per-edge
+    messages in VMEM instead of saving them, then emits d_h and d_etype
+    with two more dot groups.  The per-edge-type gradient's segmented
+    sum over channels runs ON THE MXU via a 0/1 segment matrix.
+  * ``h = x @ W`` stays OUTSIDE the kernel: XLA computes it as one large
+    dot and differentiates it (dW, dx) for free.
 
-  h2[t*Np+n, c] = (x[b] @ W_t)[n, c]            T matmuls      (MXU)
-  A[e, t*Np+n]  = onehot[e, n] * et[b, e, t]    T slice-mults  (VPU)
-  m             = A @ h2                         one matmul     (MXU)
-  out[b, d, :]  = agg_k m[k*Nd+d, :]            K-block reduce (VPU)
-
-with Np = N_src padded to the 128-lane tile so every slice offset is
-hardware-aligned, and edges K-MAJOR (row k*Nd + d) so aggregation runs
-on aligned sublane blocks.  The one-hot gather runs on the MXU where it
-is 10-40x faster than an XLA gather, and the combined A operator folds
-the etype mix into the same matmul.
-
-The backward recomputes h2/A/m in VMEM, rebuilds the aggregation
-cotangent (deterministic first-win argmax for max; softmax weights for
-logsumexp), and emits dx / d_etype / dW via three more MXU matmul
-groups.  dW is accumulated across the sequential batch grid into a
-constant-index output block (the canonical Pallas reduction pattern).
-
-Matmuls run with bfloat16 operands and f32 accumulation by default —
-identical to the XLA path's default TPU matmul precision — and in f32
-when ``precision='float32'`` (parity tests; CPU interpret mode).
+Edge rows are K-MAJOR (row k*Nd + d) so the K-aggregation is a loop of
+leading-dim slices.  Matmuls use bf16 operands with f32 accumulation by
+default — identical numerics to the XLA path's default TPU matmul
+precision — and f32 when ``precision='float32'`` (parity tests; CPU
+interpret mode).
 """
 
 from __future__ import annotations
@@ -57,15 +54,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _batch_tile(B: int) -> int:
-    for bt in (8, 4, 2):
-        if B % bt == 0:
+def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
+    """VMEM bytes of the backward tile: hg_all (T*E, bTC) bf16 + msgs/dm
+    (E, bTC) f32 + h/dh blocks (T*Ns, bTC) f32 + g (Nd, bTC) + one-hot
+    constants (double-buffering of the streamed blocks is on top; the
+    12 MB cap below leaves room for it)."""
+    bTC = bt * C
+    return (2 * T * E * bTC + 4 * 2 * E * bTC + 4 * 2 * T * Ns * bTC
+            + 4 * Nd * bTC + 4 * 2 * E * _round_up(Ns, _LANE))
+
+
+def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
+    """Largest batch tile whose backward working set stays inside VMEM.
+
+    TPU block rules additionally need bT >= 8 and bT*C lane-aligned;
+    callers treat a return of 1 as unsupported."""
+    for bt in (32, 16, 8):
+        if (B % bt == 0 and bt * C <= 4096 and bt * C % _LANE == 0
+                and _bwd_bytes(bt, C, T, E, Ns, Nd) <= 12 << 20):
             return bt
     return 1
 
 
 def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
-                    extension_name: str = "none") -> bool:
+                    extension_name: str = "none", nout: int = 128) -> bool:
     """Whether the fused kernel covers this conv instance."""
     if extension_name != "none":
         return False
@@ -76,165 +88,149 @@ def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
     B, Ns, Cin = x_shape
     Nd, K = nn_idx_shape
     T = etype_shape[-1]
-    if K > 8 or T > 8 or Nd % 8 != 0 or Nd < 8 or Ns % 8 != 0:
+    if K > 8 or T > 8 or Ns > 512 or B < 1:
         return False
-    if Ns > 512 or Cin > 1024 or B < 1:
-        return False
-    # VMEM estimate per program (f32 words, upper bound)
-    Np = _round_up(Ns, _LANE)
+    if B % 8 != 0 or Ns % 8 != 0:
+        return False  # TPU block rule: (8, 128)-divisible block dims
     E = Nd * K
-    BT = _batch_tile(B)
-    C = 256  # conservative bound; real C known only at call time
-    words = (2 * T * Np * max(Cin, C) + E * T * Np + 4 * E * C +
-             Np * Cin + BT * (Ns * Cin + E * _LANE + Nd * C))
-    return words * 4 < 10 * 1024 * 1024
+    return _batch_tile(B, nout, T, E, Ns, Nd) >= 8
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# kernels
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, et_ref, oh_ref, w_ref, out_ref, xp, h2, a, m,
-                *, N, Np, Nd, K, T, BT, aggregator, gamma, mm_dtype):
-    """One program = BT batch rows.
+def _expand(et_t, segt, mm_dtype):
+    """(E, bT) -> (E, bT*C): repeat each batch lane C times (c-minor).
 
-    x_ref: (BT, N, Cin)   et_ref: (BT, E, T)   oh_ref: (E, Np)
-    w_ref: (T, Cin, C)    out_ref: (BT, Nd, C)
-    scratch: xp (Np, Cin) f32, h2 (T*Np, C) mm, a (E, T*Np) mm, m (E, C) f32
+    Runs on the MXU against the 0/1 expansion matrix segt (bT, bT*C)
+    whose row b is 1 exactly on its C lanes (pltpu.repeat is a TILE
+    repeat, not an element repeat, so it cannot build this layout)."""
+    return jax.lax.dot(et_t.astype(mm_dtype), segt,
+                       preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(oh_ref, h_ref, et_ref, segt_ref, out_ref, msgs,
+                *, Nd, K, T, C, aggregator, gamma, mm_dtype):
+    """One program = bT batch rows across the lane dim.
+
+    oh_ref: (E, N) k-major rows   h_ref: (T, N, bT*C)   et_ref: (T, bT, E)
+    segt_ref: (bT, bT*C)          out_ref: (Nd, bT*C)
+    scratch msgs: (E, bT*C) f32
+
+    et rides batch-second-minor (TPU block rule: last two block dims must
+    be (8,128)-divisible or full; (bT, E) satisfies it, (E, bT) cannot)
+    and is transposed to (E, bT) in-VREG before the expansion dot.
     """
-    xp[...] = jnp.zeros_like(xp)
-    for bt in range(BT):
-        xp[:N] = x_ref[bt]
-        et = et_ref[bt]  # (E, T)
-        for t in range(T):
-            h2[t * Np:(t + 1) * Np] = jax.lax.dot(
-                xp[...].astype(mm_dtype), w_ref[t].astype(mm_dtype),
-                preferred_element_type=jnp.float32).astype(mm_dtype)
-            a[:, t * Np:(t + 1) * Np] = (
-                oh_ref[...] * et[:, t:t + 1]).astype(mm_dtype)
-        m[...] = jax.lax.dot(a[...], h2[...],
-                             preferred_element_type=jnp.float32)
-        if aggregator == "max":
-            acc = m[0:Nd]
-            for k in range(1, K):
-                acc = jnp.maximum(acc, m[k * Nd:(k + 1) * Nd])
-        elif aggregator in ("sum", "mean"):
-            acc = m[0:Nd]
-            for k in range(1, K):
-                acc = acc + m[k * Nd:(k + 1) * Nd]
-            if aggregator == "mean":
-                acc = acc * (1.0 / K)
-        else:  # softmax: (1/g) * logsumexp(g * m) over k
-            mx = m[0:Nd]
-            for k in range(1, K):
-                mx = jnp.maximum(mx, m[k * Nd:(k + 1) * Nd])
-            s = jnp.zeros_like(mx)
-            for k in range(K):
-                s = s + jnp.exp(gamma * (m[k * Nd:(k + 1) * Nd] - mx))
-            acc = mx + jnp.log(s) * (1.0 / gamma)
-        out_ref[bt] = acc.astype(out_ref.dtype)
+    oh = oh_ref[...].astype(mm_dtype)
+    segt = segt_ref[...].astype(mm_dtype)
+    for t in range(T):
+        hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                           preferred_element_type=jnp.float32)
+        term = hg_t * _expand(et_ref[t].T, segt, mm_dtype)
+        if t == 0:
+            msgs[...] = term
+        else:
+            msgs[...] += term
+
+    if aggregator == "max":
+        acc = msgs[0:Nd]
+        for k in range(1, K):
+            acc = jnp.maximum(acc, msgs[k * Nd:(k + 1) * Nd])
+    elif aggregator in ("sum", "mean"):
+        acc = msgs[0:Nd]
+        for k in range(1, K):
+            acc = acc + msgs[k * Nd:(k + 1) * Nd]
+        if aggregator == "mean":
+            acc = acc * (1.0 / K)
+    else:  # softmax: (1/g) * logsumexp(g * m) over k
+        mx = msgs[0:Nd]
+        for k in range(1, K):
+            mx = jnp.maximum(mx, msgs[k * Nd:(k + 1) * Nd])
+        s = jnp.zeros_like(mx)
+        for k in range(K):
+            s = s + jnp.exp(gamma * (msgs[k * Nd:(k + 1) * Nd] - mx))
+        acc = mx + jnp.log(s) * (1.0 / gamma)
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
-# ---------------------------------------------------------------------------
-# backward kernel
-# ---------------------------------------------------------------------------
+def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, seg_ref, segt_ref,
+                dh_ref, det_ref, hg_all, msgs, dm,
+                *, Nd, K, T, C, aggregator, gamma, mm_dtype):
+    """Recompute + backward.  One program = bT batch rows.
 
-
-def _bwd_kernel(g_ref, x_ref, et_ref, oh_ref, oht_ref, w_ref, wt_ref,
-                dx_ref, det_ref, dw_ref,
-                xp, h2, a, m, dm, dh2,
-                *, N, Np, Nd, K, T, BT, aggregator, gamma, mm_dtype):
-    """Recompute + backward.  One program = BT batch rows.
-
-    g_ref: (BT, Nd, C)   oht_ref: (Np, E)   wt_ref: (T, C, Cin)
-    dx_ref: (BT, N, Cin) det_ref: (BT, E, T) dw_ref: (T, Cin, C) f32 accum
-    scratch: dm (E, C) f32, dh2 (T*Np, C) f32; rest as forward.
+    g_ref: (Nd, bT*C)  oht_ref: (N, E)  seg_ref: (bT*C, bT) 0/1 blocks
+    segt_ref: (bT, bT*C)  dh_ref: (T, N, bT*C)  det_ref: (T, bT, E)
+    scratch: hg_all (T*E, bT*C) f32, msgs (E, bT*C) f32, dm (E, bT*C) f32
     """
-    i = pl.program_id(0)
+    E = Nd * K
+    oh = oh_ref[...].astype(mm_dtype)
+    segt = segt_ref[...].astype(mm_dtype)
 
-    @pl.when(i == 0)
-    def _init():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+    # ---- recompute per-edge messages, keeping each hg_t for d_etype
+    for t in range(T):
+        hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                           preferred_element_type=jnp.float32)
+        hg_all[t * E:(t + 1) * E] = hg_t.astype(hg_all.dtype)
+        term = hg_t * _expand(et_ref[t].T, segt, mm_dtype)
+        if t == 0:
+            msgs[...] = term
+        else:
+            msgs[...] += term
 
-    xp[...] = jnp.zeros_like(xp)
-    for bt in range(BT):
-        # ---- recompute forward to the per-edge messages m
-        xp[:N] = x_ref[bt]
-        et = et_ref[bt]  # (E, T)
-        for t in range(T):
-            h2[t * Np:(t + 1) * Np] = jax.lax.dot(
-                xp[...].astype(mm_dtype), w_ref[t].astype(mm_dtype),
-                preferred_element_type=jnp.float32).astype(mm_dtype)
-            a[:, t * Np:(t + 1) * Np] = (
-                oh_ref[...] * et[:, t:t + 1]).astype(mm_dtype)
-        m[...] = jax.lax.dot(a[...], h2[...],
-                             preferred_element_type=jnp.float32)
+    g = g_ref[...].astype(jnp.float32)  # (Nd, bT*C)
 
-        g = g_ref[bt].astype(jnp.float32)  # (Nd, C)
+    # ---- aggregation cotangent dm (E, bT*C)
+    if aggregator == "max":
+        # deterministic first-win argmax, recomputed
+        run = msgs[0:Nd]
+        am = jnp.zeros_like(run, dtype=jnp.int32)
+        for k in range(1, K):
+            blk = msgs[k * Nd:(k + 1) * Nd]
+            take = blk > run
+            run = jnp.where(take, blk, run)
+            am = jnp.where(take, k, am)
+        for k in range(K):
+            dm[k * Nd:(k + 1) * Nd] = jnp.where(am == k, g, 0.0)
+    elif aggregator == "sum":
+        for k in range(K):
+            dm[k * Nd:(k + 1) * Nd] = g
+    elif aggregator == "mean":
+        gs = g * (1.0 / K)
+        for k in range(K):
+            dm[k * Nd:(k + 1) * Nd] = gs
+    else:  # softmax
+        mx = msgs[0:Nd]
+        for k in range(1, K):
+            mx = jnp.maximum(mx, msgs[k * Nd:(k + 1) * Nd])
+        s = jnp.zeros_like(mx)
+        for k in range(K):
+            s = s + jnp.exp(gamma * (msgs[k * Nd:(k + 1) * Nd] - mx))
+        lse = mx + jnp.log(s) * (1.0 / gamma)
+        for k in range(K):
+            dm[k * Nd:(k + 1) * Nd] = g * jnp.exp(
+                gamma * (msgs[k * Nd:(k + 1) * Nd] - lse))
 
-        # ---- aggregation cotangent dm (E, C)
-        if aggregator == "max":
-            # deterministic first-win argmax, recomputed
-            run = m[0:Nd]
-            am = jnp.zeros_like(run, dtype=jnp.int32)
-            for k in range(1, K):
-                blk = m[k * Nd:(k + 1) * Nd]
-                take = blk > run
-                run = jnp.where(take, blk, run)
-                am = jnp.where(take, k, am)
-            for k in range(K):
-                dm[k * Nd:(k + 1) * Nd] = jnp.where(am == k, g, 0.0)
-        elif aggregator == "sum":
-            for k in range(K):
-                dm[k * Nd:(k + 1) * Nd] = g
-        elif aggregator == "mean":
-            gs = g * (1.0 / K)
-            for k in range(K):
-                dm[k * Nd:(k + 1) * Nd] = gs
-        else:  # softmax
-            mx = m[0:Nd]
-            for k in range(1, K):
-                mx = jnp.maximum(mx, m[k * Nd:(k + 1) * Nd])
-            s = jnp.zeros_like(mx)
-            for k in range(K):
-                s = s + jnp.exp(gamma * (m[k * Nd:(k + 1) * Nd] - mx))
-            lse = mx + jnp.log(s) * (1.0 / gamma)
-            for k in range(K):
-                dm[k * Nd:(k + 1) * Nd] = g * jnp.exp(
-                    gamma * (m[k * Nd:(k + 1) * Nd] - lse))
-
-        # ---- d_etype[b, e, t] = sum_c dm[e, c] * (oh @ h2_t)[e, c]
-        dmc = dm[...].astype(mm_dtype)
-        for t in range(T):
-            hg = jax.lax.dot(oh_ref[...].astype(mm_dtype),
-                             h2[t * Np:(t + 1) * Np],
-                             preferred_element_type=jnp.float32)
-            det_ref[bt, :, t:t + 1] = jnp.sum(
-                dm[...] * hg, axis=1, keepdims=True).astype(det_ref.dtype)
-
-        # ---- dh2 = A^T @ dm, built block-wise with the transposed one-hot
-        for t in range(T):
-            at = (oht_ref[...] * et[:, t:t + 1].reshape(1, -1)
-                  ).astype(mm_dtype)
-            dh2[t * Np:(t + 1) * Np] = jax.lax.dot(
-                at, dmc, preferred_element_type=jnp.float32)
-
-        # ---- dx[b] = sum_t dh2_t @ W_t^T ; dW_t += x^T @ dh2_t
-        dxb = jnp.zeros((Np, dx_ref.shape[-1]), jnp.float32)
-        for t in range(T):
-            dh2t = dh2[t * Np:(t + 1) * Np].astype(mm_dtype)
-            dxb = dxb + jax.lax.dot(dh2t, wt_ref[t].astype(mm_dtype),
-                                    preferred_element_type=jnp.float32)
-            dw_ref[t] += jax.lax.dot_general(
-                xp[...].astype(mm_dtype), dh2t,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dx_ref[bt] = dxb[:N].astype(dx_ref.dtype)
+    # ---- d_etype[t, e, b] = sum_c dm[e, bC+c] * hg_t[e, bC+c]
+    # The segmented channel sum runs on the MXU against the 0/1 block
+    # matrix seg (bT*C, bT): column b is 1 exactly on its C lanes.
+    oht = oht_ref[...].astype(mm_dtype)
+    seg = seg_ref[...].astype(mm_dtype)
+    for t in range(T):
+        prod = (dm[...] * hg_all[t * E:(t + 1) * E]).astype(mm_dtype)
+        det_ref[t] = jax.lax.dot(
+            prod, seg, preferred_element_type=jnp.float32
+        ).T.astype(det_ref.dtype)
+        # ---- dh_t = onehot^T @ (dm * et_t)
+        q = (dm[...] * _expand(et_ref[t].T, segt, mm_dtype)).astype(mm_dtype)
+        dh_ref[t] = jax.lax.dot(
+            oht, q, preferred_element_type=jnp.float32
+        ).astype(dh_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# custom-vjp wrapper over (x, et3, w3)
+# custom-vjp wrapper over (h5, et3)
 # ---------------------------------------------------------------------------
 
 
@@ -242,110 +238,91 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fused_fwd_impl(x, et3, w3, oh, oht, nout, aggregator, gamma,
-                    mm_dtype_name, Nd, K):
-    B, N, Cin = x.shape
-    T = w3.shape[0]
-    C = nout
-    Np = _round_up(N, _LANE)
+def _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
+                    mm_dtype_name, Nd, K, bT):
+    T, N, BC = h5.shape
     E = Nd * K
-    BT = _batch_tile(B)
+    C = nout
     mm_dtype = jnp.dtype(mm_dtype_name)
-
     kern = functools.partial(
-        _fwd_kernel, N=N, Np=Np, Nd=Nd, K=K, T=T, BT=BT,
+        _fwd_kernel, Nd=Nd, K=K, T=T, C=C,
         aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
-        grid=(B // BT,),
+        grid=(BC // (bT * C),),
         in_specs=[
-            pl.BlockSpec((BT, N, Cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, E, T), lambda i: (i, 0, 0)),
-            pl.BlockSpec((E, Np), lambda i: (0, 0)),
-            pl.BlockSpec((T, Cin, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((E, N), lambda i: (0, 0)),
+            pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
+            pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((bT, bT * C), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((BT, Nd, C), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Nd, C), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Np, Cin), jnp.float32),
-            pltpu.VMEM((T * Np, C), mm_dtype),
-            pltpu.VMEM((E, T * Np), mm_dtype),
-            pltpu.VMEM((E, C), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((Nd, BC), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((E, bT * C), jnp.float32)],
         interpret=_interpret(),
-    )(x, et3, oh, w3)
-    return out
+    )(oh, h5, et3, segt)
 
 
-def _fused_bwd_impl(x, et3, w3, oh, oht, nout, aggregator, gamma,
-                    mm_dtype_name, Nd, K, g):
-    B, N, Cin = x.shape
-    T = w3.shape[0]
-    C = nout
-    Np = _round_up(N, _LANE)
+def _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
+                    mm_dtype_name, Nd, K, bT, g):
+    T, N, BC = h5.shape
     E = Nd * K
-    BT = _batch_tile(B)
+    C = nout
     mm_dtype = jnp.dtype(mm_dtype_name)
-    wt3 = jnp.swapaxes(w3, 1, 2)  # (T, C, Cin)
-
     kern = functools.partial(
-        _bwd_kernel, N=N, Np=Np, Nd=Nd, K=K, T=T, BT=BT,
+        _bwd_kernel, Nd=Nd, K=K, T=T, C=C,
         aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype)
-    dx, det3, dw3 = pl.pallas_call(
+    dh5, det3 = pl.pallas_call(
         kern,
-        grid=(B // BT,),
+        grid=(BC // (bT * C),),
         in_specs=[
-            pl.BlockSpec((BT, Nd, C), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, N, Cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, E, T), lambda i: (i, 0, 0)),
-            pl.BlockSpec((E, Np), lambda i: (0, 0)),
-            pl.BlockSpec((Np, E), lambda i: (0, 0)),
-            pl.BlockSpec((T, Cin, C), lambda i: (0, 0, 0)),
-            pl.BlockSpec((T, C, Cin), lambda i: (0, 0, 0)),
+            pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
+            pl.BlockSpec((E, N), lambda i: (0, 0)),
+            pl.BlockSpec((N, E), lambda i: (0, 0)),
+            pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
+            pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((bT * C, bT), lambda i: (0, 0)),
+            pl.BlockSpec((bT, bT * C), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((BT, N, Cin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((BT, E, T), lambda i: (i, 0, 0)),
-            pl.BlockSpec((T, Cin, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
+            pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, Cin), x.dtype),
-            jax.ShapeDtypeStruct((B, E, T), et3.dtype),
-            jax.ShapeDtypeStruct((T, Cin, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, N, BC), jnp.float32),
+            jax.ShapeDtypeStruct((T, et3.shape[1], E), et3.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Np, Cin), jnp.float32),
-            pltpu.VMEM((T * Np, C), mm_dtype),
-            pltpu.VMEM((E, T * Np), mm_dtype),
-            pltpu.VMEM((E, C), jnp.float32),
-            pltpu.VMEM((E, C), jnp.float32),
-            pltpu.VMEM((T * Np, C), jnp.float32),
+            pltpu.VMEM((T * E, bT * C), mm_dtype),
+            pltpu.VMEM((E, bT * C), jnp.float32),
+            pltpu.VMEM((E, bT * C), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g, x, et3, oh, oht, w3, wt3)
-    return dx, det3, dw3.astype(w3.dtype)
+    )(g, oh, oht, h5, et3, seg, segt)
+    return dh5, det3
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _fused(x, et3, w3, oh, oht, nout, aggregator, gamma, mm_dtype_name,
-           Nd, K):
-    return _fused_fwd_impl(x, et3, w3, oh, oht, nout, aggregator, gamma,
-                           mm_dtype_name, Nd, K)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _fused(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
+           mm_dtype_name, Nd, K, bT):
+    return _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator,
+                           gamma, mm_dtype_name, Nd, K, bT)
 
 
-def _fused_fwd(x, et3, w3, oh, oht, nout, aggregator, gamma, mm_dtype_name,
-               Nd, K):
-    out = _fused_fwd_impl(x, et3, w3, oh, oht, nout, aggregator, gamma,
-                          mm_dtype_name, Nd, K)
-    return out, (x, et3, w3, oh, oht)
+def _fused_fwd(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
+               mm_dtype_name, Nd, K, bT):
+    out = _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator,
+                          gamma, mm_dtype_name, Nd, K, bT)
+    return out, (h5, et3, oh, oht, seg, segt)
 
 
-def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, res, g):
-    x, et3, w3, oh, oht = res
-    dx, det3, dw3 = _fused_bwd_impl(
-        x, et3, w3, oh, oht, nout, aggregator, gamma, mm_dtype_name,
-        Nd, K, g)
-    return dx, det3, dw3, jnp.zeros_like(oh), jnp.zeros_like(oht)
+def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, bT, res, g):
+    h5, et3, oh, oht, seg, segt = res
+    dh5, det3 = _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout,
+                                aggregator, gamma, mm_dtype_name, Nd, K,
+                                bT, g)
+    return (dh5.astype(h5.dtype), det3, jnp.zeros_like(oh),
+            jnp.zeros_like(oht), jnp.zeros_like(seg), jnp.zeros_like(segt))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -371,27 +348,43 @@ def fused_typed_mp(
     the default uses bf16 operands with f32 accumulation, matching the
     XLA path's default TPU matmul precision.
     """
+    import numpy as np
+
     B, N, Cin = x.shape
     Nd, K = nn_idx.shape
     T = etype.shape[-1]
-    Np = _round_up(N, _LANE)
+    C = nout
+    bT = _batch_tile(B, C, T, Nd * K, N, Nd)
 
     # layout transforms (all tiny; they stay inside the autodiff graph so
     # their transposes are differentiated by XLA, outside the custom VJP)
-    w3 = jnp.transpose(filters.reshape(Cin, nout, T), (2, 0, 1))  # (T,Cin,C)
-    # k-major edge order: row k*Nd + d
-    et3 = jnp.transpose(etype, (0, 2, 1, 3)).reshape(B, K * Nd, T)
-    oh = jax.nn.one_hot(nn_idx.T.reshape(-1), Np, dtype=jnp.float32)  # (E,Np)
-    oht = jnp.transpose(oh)
+    # t-major filter columns: h (B, N, T*C), m = t*C + c
+    wt = jnp.transpose(filters.reshape(Cin, C, T), (0, 2, 1)).reshape(
+        Cin, T * C)
+    h = jnp.matmul(x.astype(jnp.float32), wt.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    h5 = jnp.transpose(h.reshape(B, N, T, C), (2, 1, 0, 3)).reshape(
+        T, N, B * C)
+    # k-major edge rows (k*Nd + d), batch second (block-rule compliant)
+    et3 = jnp.transpose(etype.astype(jnp.float32), (3, 0, 2, 1)).reshape(
+        T, B, K * Nd)
 
-    # CPU interpret mode cannot execute bf16 dots (and is correctness-only
-    # anyway); bf16 operands are a TPU-MXU-specific choice.
+    # nn_idx must be a trace-time constant (the dispatcher guarantees it)
+    idx_np = np.asarray(nn_idx)
+    oh_np = np.zeros((K * Nd, N), np.float32)
+    oh_np[np.arange(K * Nd), idx_np.T.reshape(-1)] = 1.0
+    oh = jnp.asarray(oh_np)
+    oht = jnp.asarray(oh_np.T.copy())
+    seg_np = np.zeros((bT * C, bT), np.float32)
+    seg_np[np.arange(bT * C), np.arange(bT * C) // C] = 1.0
+    seg = jnp.asarray(seg_np)
+    segt = jnp.asarray(seg_np.T.copy())
+
     mm_dtype_name = ("float32" if (precision == "float32" or _interpret())
                      else "bfloat16")
-    out = _fused(x.astype(jnp.float32), et3.astype(jnp.float32),
-                 w3.astype(jnp.float32), oh, oht, nout, aggregator,
-                 float(gamma), mm_dtype_name, Nd, K)
-    out = out.astype(x.dtype)
+    out2 = _fused(h5, et3, oh, oht, seg, segt, nout, aggregator,
+                  float(gamma), mm_dtype_name, Nd, K, bT)  # (Nd, B*C)
+    out = jnp.transpose(out2.reshape(Nd, B, C), (1, 0, 2)).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

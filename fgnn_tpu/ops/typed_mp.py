@@ -5,8 +5,9 @@ Implements the exact math of the reference ``mp_conv_v2``
 
   * features are ``(B, N, C)`` (channels last -> TPU lanes),
   * the per-edge-type filter bank is one big matmul on the MXU,
-  * the neighbor gather + etype contraction + K-aggregation are fused by XLA
-    (a Pallas fused kernel backs the hot configuration, see pallas_mp.py).
+  * on TPU, the neighbor gather + etype contraction + K-aggregation run in
+    the fused Pallas kernel (ops/fused_mp.py, default); the pure-XLA
+    one-hot-matmul path below is the fallback and the CPU/parity path.
 
 Per destination node ``i`` with neighbor slot ``k`` (source ``j = nn_idx[i,k]``):
 
@@ -36,33 +37,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Fused Pallas path for the NO_EXTENSION hot configuration.  Opt-in via
-# FGNN_USE_PALLAS=1 (read at call time): with the one-hot matmul gather
-# below, the pure-XLA lowering measures FASTER than the Pallas custom
-# call on the current TPU (the custom-call layout constraints force
-# whole-activation transpose copies around every kernel invocation —
-# 25.0 vs 16.6 ms/step on the B=256 LDPC train step).
-
-
-def _use_pallas() -> bool:
-    env = os.environ.get("FGNN_USE_PALLAS")
-    if env is not None:
-        return env == "1"
-    return False
-
-
 def _use_fused() -> bool:
-    """Fully-fused forward+backward kernel (ops/fused_mp.py), opt-in via
-    FGNN_FUSED=1.  The v1 kernel (per-batch-element inner loop) is
-    numerically correct everywhere but measured SLOWER than XLA on the
-    full LDPC step (15.7 vs 12.8 ms: 30+ convs x 32 grid programs x 8
-    serialized small matmuls each are latency-bound, see
-    benchmarks/fused_microbench.py) — kept opt-in while the batched-lane
-    v2 formulation lands."""
+    """Fully-fused forward+backward Pallas kernel (ops/fused_mp.py, the
+    lane-batched v2).  DEFAULT ON when running on a TPU; FGNN_FUSED=0
+    forces the pure-XLA one-hot path, FGNN_FUSED=1 forces the kernel even
+    off-TPU (interpret mode — slow, parity testing only)."""
     env = os.environ.get("FGNN_FUSED")
     if env is not None:
         return env == "1"
-    return False
+    return jax.default_backend() == "tpu"
 
 
 class Extension(enum.Enum):
@@ -102,6 +85,21 @@ _GATHER_PRECISION = (
     jax.lax.Precision.HIGHEST
     if os.environ.get("FGNN_GATHER_PRECISION") == "highest" else None)
 _DEBUG_CHECK_IDX = os.environ.get("FGNN_DEBUG_CHECK_IDX") == "1"
+# Storage dtype for the gathered per-edge intermediate hg (Nd, K, B, C*T)
+# — the largest tensor the step materializes (75-151 MB per conv at B=256).
+# bf16 storage is numerically near-equivalent on TPU (the MXU rounds f32
+# dot operands to bfloat16 on ingest anyway) but MEASURED SLOWER on v5e
+# (15.8 vs 12.6 ms B=256 LDPC step: the (16,128) bf16 tiling of the
+# minor (nout, T=4) split inflates padding and forces relayouts), so the
+# default stays f32.  FGNN_GATHER_STORE=bf16 opts in for experiments.
+_GATHER_STORE = os.environ.get("FGNN_GATHER_STORE")
+
+
+def _gather_store_dtype(dtype, precision):
+    if _GATHER_STORE == "bf16" and precision is None \
+            and _GATHER_PRECISION is None:
+        return jnp.bfloat16
+    return jnp.float32 if dtype == jnp.float32 else dtype
 
 
 def _check_idx(nn_idx, n_src: int):
@@ -117,9 +115,11 @@ def _concrete_idx(nn_idx):
     """Return nn_idx as a host numpy array when it is a trace-time constant
     (e.g. the LDPC global-factor tables built with jnp.zeros/arange inside
     the model), else None.  Concrete tables unlock exact structural
-    shortcuts below that skip the one-hot gather matmul entirely."""
-    if isinstance(nn_idx, jax.core.Tracer):
-        return None
+    shortcuts below that skip the one-hot gather matmul entirely.
+
+    Tracer inputs are detected by the TracerArrayConversionError that
+    ``np.asarray`` raises (the public-API contract), not by isinstance
+    checks against deprecated ``jax.core`` internals."""
     try:
         import numpy as np
 
@@ -137,18 +137,136 @@ def _trivial_gather(h, idx_np, n_src: int):
       pure reshape of the source rows (the global-factor v2f direction).
 
     Returns (B, Nd, K, M) or None when neither shortcut applies.  Both are
-    bit-exact (a copy, not an MXU contraction).
+    bit-exact (a copy, not an MXU contraction).  The shortcuts validate the
+    concrete table values (cheap trace-time numpy), so FGNN_DEBUG_CHECK_IDX
+    semantics are preserved on these paths.
     """
     import numpy as np
 
     nd, k = idx_np.shape
     if n_src == 1:
+        if not (idx_np == 0).all():
+            _check_idx(idx_np, n_src)  # out-of-range table: fail loud in debug
+            return None
         return jnp.broadcast_to(
             h[:, 0][:, None, None, :], (h.shape[0], nd, k, h.shape[-1]))
     if nd * k == n_src and np.array_equal(
             idx_np.reshape(-1), np.arange(n_src)):
         return h.reshape(h.shape[0], nd, k, h.shape[-1])
     return None
+
+
+# ---------------------------------------------------------------------------
+# Mixed-operator ("mixmat") formulation — measured comparison point only.
+#
+# The one-hot formulation materializes the gathered-and-untyped messages
+# hg (Nd, K, B, nout*T) per conv; on the real chip the compiled step spends
+# most of its HBM bandwidth writing, reading and LAYOUT-COPYING these
+# tensors (profiled: ~1.8k async copy pairs, 100-151 MB each, per B=256
+# LDPC train step).  Folding the neighbor gather and the edge-type mixing
+# into ONE batched operand kills all of it:
+#
+#   A[b, (d k), (n t)] = onehot[d,k,n] * etype[b,d,k,t]       (built once,
+#                                                              CSE'd across
+#                                                              layers)
+#   msgs[b, (d k), c]  = sum_{n,t} A[b,(dk),(nt)] * h[b,(nt),c]
+#
+# where h = x @ W_tmajor reshaped to (B, N*T, nout).  Everything is a
+# batch-major batched matmul: natural TPU layouts end to end, zero
+# transposes, and the backward (dA = dmsgs h^T, dh = A^T dmsgs) is also
+# pure batched matmuls — no scatter, no layout copies.  The extra FLOPs
+# (the n-contraction runs over N*T instead of T) are free in this
+# bandwidth-bound regime.  Numerics: each (n,t) slot of A holds exactly
+# one nonzero per t, so the contraction sums the same T products as the
+# reference einsum (summation order differs -> ~1 ulp f32).
+#
+# MEASURED (v5e, B=128 LDPC step): 8.1 ms vs 5.7 ms for the k-major
+# one-hot path below — the (B, E, N*T) x (B, N*T, C) contraction is a
+# BATCHED matmul of tiny per-sample matrices, which starves the MXU
+# (the one-hot path's gather is one large unbatched dot).  Kept opt-in
+# (FGNN_MP_IMPL=mixmat) as the comparison point.
+_MIXMAT_MAX_NT = int(os.environ.get("FGNN_MIXMAT_MAX_NT", "4096"))
+
+
+def _mp_impl() -> str:
+    return os.environ.get("FGNN_MP_IMPL", "onehot")
+
+
+def _mixmat_supported(x, nn_idx, etype) -> bool:
+    if jnp.ndim(nn_idx) != 2 or jnp.ndim(etype) != 4:
+        return False
+    n_src = x.shape[1]
+    T = etype.shape[-1]
+    return 0 < n_src * T <= _MIXMAT_MAX_NT
+
+
+def _mixmat_operator(nn_idx, etype, n_src: int, dtype):
+    """Build A (B, Nd*K, N*T) from the shared table + per-sample etype."""
+    nd, k = nn_idx.shape
+    B, _, _, T = etype.shape
+    onehot = jax.nn.one_hot(nn_idx, n_src, dtype=dtype)        # (Nd, K, N)
+    a = onehot[None, :, :, :, None] * etype[..., None, :].astype(dtype)
+    return a.reshape(B, nd * k, n_src * T)
+
+
+def _tmajor_filters(filters, cin_rows: int, nout: int, T: int, dtype):
+    """Re-layout the reference filter bank (rows, nout*T) col=c*T+t into
+    t-major columns col=t*nout+c, so x @ W reshapes to (B, N*T, nout)."""
+    w = filters.reshape(cin_rows, nout, T)
+    return jnp.transpose(w, (0, 2, 1)).reshape(cin_rows, T * nout).astype(dtype)
+
+
+def _mixmat_conv(x, nn_idx, etype, filters, nout, *, extension,
+                 aggregator, gamma, bias, precision):
+    """typed_mp_conv via the mixed-operator formulation (all extensions)."""
+    B, n_src, cin = x.shape
+    nd, k = nn_idx.shape
+    T = etype.shape[-1]
+    dtype = x.dtype
+
+    a_op = _mixmat_operator(nn_idx, etype, n_src, dtype)       # (B, E, N*T)
+
+    if extension == Extension.NO_EXTENSION:
+        wt = _tmajor_filters(filters, cin, nout, T, dtype)
+        h = jnp.matmul(x, wt, precision=precision,
+                       preferred_element_type=jnp.float32)     # (B, N, T*nout)
+        h = h.reshape(B, n_src * T, nout)
+        msgs = jnp.matmul(a_op, h, precision=precision,
+                          preferred_element_type=jnp.float32)  # (B, E, nout)
+        msgs = msgs.reshape(B, nd, k, nout)
+    else:
+        # [x_i ; x_i - x_j] W = x_i (W_self + W_nbr) - x_j W_nbr  (DIFF)
+        # [x_i ;       x_j] W = x_i W_self           + x_j W_nbr  (NEIGHBOR)
+        # The self term needs no gather: contract etype directly; only the
+        # neighbor term rides the A operator.  Requires N_dst == N_src.
+        w_self = filters[:cin]
+        w_nbr = filters[cin:]
+        if extension == Extension.ORIG_WITH_DIFF:
+            wa = _tmajor_filters(w_self + w_nbr, cin, nout, T, dtype)
+            sign = -1.0
+        elif extension == Extension.ORIG_WITH_NEIGHBOR:
+            wa = _tmajor_filters(w_self, cin, nout, T, dtype)
+            sign = 1.0
+        else:
+            raise ValueError(f"unknown extension {extension}")
+        wb = _tmajor_filters(w_nbr, cin, nout, T, dtype)
+        ha = jnp.matmul(x, wa, precision=precision,
+                        preferred_element_type=jnp.float32)    # (B, N, T*nout)
+        hb = jnp.matmul(x, wb, precision=precision,
+                        preferred_element_type=jnp.float32)
+        nbr = jnp.matmul(a_op, hb.reshape(B, n_src * T, nout),
+                         precision=precision,
+                         preferred_element_type=jnp.float32)   # (B, E, nout)
+        ha = ha.reshape(B, nd, T, nout)
+        self_t = jnp.einsum("bnkt,bntc->bnkc", etype.astype(dtype), ha,
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+        msgs = self_t + sign * nbr.reshape(B, nd, k, nout)
+
+    out = aggregate(msgs, aggregator, gamma)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def gather_nodes(x: jax.Array, nn_idx: jax.Array) -> jax.Array:
@@ -219,16 +337,37 @@ def typed_mp_conv(
     dtype = x.dtype
 
     if extension == Extension.NO_EXTENSION:
-        if _use_fused():
+        n_src = x.shape[1]
+        idx_np = _concrete_idx(nn_idx) if jnp.ndim(nn_idx) == 2 else None
+
+        if idx_np is not None:
+            # trivial concrete tables (broadcast / identity cover) stay on
+            # the exact zero-matmul shortcut — cheaper than any kernel
+            h = jnp.matmul(x, filters.astype(dtype), precision=precision,
+                           preferred_element_type=jnp.float32)
+            hg = _trivial_gather(h, idx_np, n_src)
+            if hg is not None:
+                hg = hg.reshape(*hg.shape[:-1], nout, T)
+                msgs = jnp.einsum(
+                    "bnkct,bnkt->bnkc", hg, etype.astype(dtype),
+                    precision=precision,
+                    preferred_element_type=jnp.float32)
+                out = aggregate(msgs, aggregator, gamma)
+                if bias is not None:
+                    out = out + bias.astype(out.dtype)
+                return out
+
+        if idx_np is not None and _use_fused():
             from .fused_mp import fused_supported, fused_typed_mp
 
             if fused_supported(x.shape, jnp.shape(nn_idx), etype.shape,
-                               aggregator):
+                               aggregator, nout=nout):
                 return fused_typed_mp(
                     x, nn_idx, etype, filters, nout, aggregator=aggregator,
                     gamma=gamma, bias=bias,
                     precision=("float32"
                                if precision == jax.lax.Precision.HIGHEST
+                               or _GATHER_PRECISION is not None
                                else None))
 
         # Transform at the source (N_src rows), then gather the (nout*T)-dim
@@ -237,39 +376,27 @@ def typed_mp_conv(
         h = jnp.matmul(x, filters.astype(dtype), precision=precision,
                        preferred_element_type=jnp.float32)
 
-        if _use_pallas() and aggregator in ("max", "mean", "sum"):
-            from .pallas_mp import fused_available, fused_gather_mix_aggregate
-
-            if fused_available(h.shape, jnp.shape(nn_idx), aggregator):
-                out = fused_gather_mix_aggregate(
-                    h, nn_idx.astype(jnp.int32), etype.astype(h.dtype),
-                    nout, T, aggregator)
-                if bias is not None:
-                    out = out + bias.astype(dtype)
-                return out
-
-        n_src = x.shape[1]
-        if jnp.ndim(nn_idx) == 2:
-            idx_np = _concrete_idx(nn_idx)
-            if idx_np is not None:
-                hg = _trivial_gather(h, idx_np, n_src)
-                if hg is not None:
-                    hg = hg.reshape(*hg.shape[:-1], nout, T)
-                    msgs = jnp.einsum(
-                        "bnkct,bnkt->bnkc", hg, etype.astype(dtype),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
-                    out = aggregate(msgs, aggregator, gamma)
-                    if bias is not None:
-                        out = out + bias.astype(out.dtype)
-                    return out
+        if _mp_impl() == "mixmat" and _mixmat_supported(x, nn_idx, etype):
+            return _mixmat_conv(
+                x, nn_idx, etype, filters, nout, extension=extension,
+                aggregator=aggregator, gamma=gamma, bias=bias,
+                precision=precision)
         if jnp.ndim(nn_idx) == 2 and 0 < n_src <= _ONEHOT_MAX_SRC:
             # One-hot MXU gather kept in the dot's NATURAL output layout
             # (Nd, K, B, C): forcing (B, Nd, K, C) here makes XLA insert a
             # whole-activation transpose copy (hundreds of MB per layer);
             # instead only the small aggregated (Nd, B, C) result is
             # transposed back at the end.
+            #
+            # Two further formulations were measured SLOWER on v5e (B=128/
+            # 256 LDPC step) and rejected:
+            #   * k-major free dims + t-major filters + mul-reduce etype
+            #     mixing (7.5/18.0 ms vs 5.7/12.0) — the (.., T, C) reshape
+            #     half-fills lanes at C=64 and the t-reduce defeats the
+            #     dot's natural tiling;
+            #   * the batched mixed-operator path (_mixmat_conv above).
             _check_idx(nn_idx, n_src)
+            store = _gather_store_dtype(dtype, precision)
             onehot = jax.nn.one_hot(nn_idx, n_src, dtype=dtype)
             # NOTE (measured on v5e, B=256 LDPC step): pre-transposing x to
             # source-major (N, B, C) so this dot contracts the leading rhs
@@ -278,9 +405,9 @@ def typed_mp_conv(
             # transpose-first formulation.  Keep the dot-natural layout.
             hg = jnp.einsum("dkn,bnm->dkbm", onehot, h,
                             precision=(precision or _GATHER_PRECISION),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=store)
             hg = hg.reshape(*hg.shape[:-1], nout, T)
-            et = jnp.transpose(etype.astype(dtype), (1, 2, 0, 3))  # (Nd,K,B,T)
+            et = jnp.transpose(etype.astype(store), (1, 2, 0, 3))  # (Nd,K,B,T)
             msgs = jnp.einsum("dkbct,dkbt->dkbc", hg, et,
                               precision=precision,
                               preferred_element_type=jnp.float32)
@@ -297,6 +424,12 @@ def typed_mp_conv(
                           precision=precision,
                           preferred_element_type=jnp.float32)
     else:
+        if (_mp_impl() == "mixmat" and _mixmat_supported(x, nn_idx, etype)
+                and nn_idx.shape[0] == x.shape[1]):
+            return _mixmat_conv(
+                x, nn_idx, etype, filters, nout, extension=extension,
+                aggregator=aggregator, gamma=gamma, bias=bias,
+                precision=precision)
         # Edge input [x_i ; x_i - x_j] (DIFF) or [x_i ; x_j] (NEIGHBOR)
         # (mp_nn.py:136-159). Requires N_dst == N_src.
         #

@@ -56,13 +56,34 @@ def create_state(model: LDPCModel, sample_batch: dict, seed: int = 0,
     ), tx
 
 
+_STATIC_TABLES = None
+
+
+def _static_tables():
+    """The 96.3.963 incidence tables as host-side numpy constants."""
+    global _STATIC_TABLES
+    if _STATIC_TABLES is None:
+        from ..data.ldpc_graph import default_structure
+
+        s = default_structure()
+        _STATIC_TABLES = (np.asarray(s.var_checks, np.int32),
+                          np.asarray(s.factors, np.int32))
+    return _STATIC_TABLES
+
+
 def _model_inputs(batch: dict) -> dict:
-    # The 96.3.963 incidence tables are the same for every sample; pass them
-    # SHARED (2D) so the gather has no batch dim and the fused Pallas path
-    # can engage (ops/pallas_mp.py requires a shared table).
+    # The 96.3.963 incidence tables are the same for every sample; pass
+    # them SHARED (2D) and as TRACE-TIME CONSTANTS (numpy, not a slice of
+    # the traced batch) so the gather has no batch dim and the fused
+    # Pallas kernel can engage (ops/fused_mp.py builds its one-hot
+    # operator from the concrete table at trace time).
     nn_f2v = batch["nn_idx_f2v"]
     nn_v2f = batch["nn_idx_v2f"]
-    if hasattr(nn_f2v, "ndim") and nn_f2v.ndim == 3:
+    st_f2v, st_v2f = _static_tables()
+    if tuple(nn_f2v.shape[-2:]) == st_f2v.shape and \
+            tuple(nn_v2f.shape[-2:]) == st_v2f.shape:
+        nn_f2v, nn_v2f = st_f2v, st_v2f
+    elif hasattr(nn_f2v, "ndim") and nn_f2v.ndim == 3:
         nn_f2v = nn_f2v[0]
         nn_v2f = nn_v2f[0]
     return {

@@ -161,3 +161,94 @@ def test_device_prefetch_roundtrip():
     next(it)
     with _pytest.raises(RuntimeError, match="generator failed"):
         list(it)
+
+
+# ---------------------------------------------------------------------------
+# trivial-gather shortcuts (concrete tables, typed_mp.py _trivial_gather)
+# ---------------------------------------------------------------------------
+
+
+def test_trivial_gather_single_source(rng):
+    """n_src == 1 all-zeros table lowers to a broadcast — parity + grads."""
+    import jax
+
+    B, Nd, K, T, Cin, Cout = 3, 10, 2, 1, 5, 4
+    x = rng.randn(B, 1, Cin).astype(np.float32)
+    nn_idx = np.zeros((Nd, K), np.int32)
+    etype = rng.randn(B, Nd, K, T).astype(np.float32)
+    W = rng.randn(Cin, Cout * T).astype(np.float32) * 0.1
+
+    got = typed_mp_conv(jnp.asarray(x), nn_idx, jnp.asarray(etype),
+                        jnp.asarray(W), Cout,
+                        extension=Extension.NO_EXTENSION, aggregator="max")
+    want = np_reference(x, nn_idx, etype, W, Cout,
+                        Extension.NO_EXTENSION, "max")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def loss(x, et, w):
+        return jnp.sum(jnp.sin(typed_mp_conv(
+            x, nn_idx, et, w, Cout, extension=Extension.NO_EXTENSION,
+            aggregator="max")))
+
+    gx, get, gw = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(etype), jnp.asarray(W))
+    eps = 1e-3
+    x2 = x.copy()
+    x2[0, 0, 0] += eps
+    num = (np.sin(np_reference(x2, nn_idx, etype, W, Cout,
+                               Extension.NO_EXTENSION, "max")).sum()
+           - np.sin(np_reference(x, nn_idx, etype, W, Cout,
+                                 Extension.NO_EXTENSION, "max")).sum()) / eps
+    np.testing.assert_allclose(float(gx[0, 0, 0]), num, rtol=2e-2)
+    assert np.isfinite(np.asarray(get)).all()
+    assert np.isfinite(np.asarray(gw)).all()
+
+
+def test_trivial_gather_identity_cover(rng):
+    """arange-identity table lowers to a reshape — parity + grad check."""
+    import jax
+
+    B, Nd, K, T, Cin, Cout = 2, 4, 3, 2, 6, 5
+    n_src = Nd * K
+    x = rng.randn(B, n_src, Cin).astype(np.float32)
+    nn_idx = np.arange(n_src, dtype=np.int32).reshape(Nd, K)
+    etype = rng.randn(B, Nd, K, T).astype(np.float32)
+    W = rng.randn(Cin, Cout * T).astype(np.float32) * 0.1
+
+    got = typed_mp_conv(jnp.asarray(x), nn_idx, jnp.asarray(etype),
+                        jnp.asarray(W), Cout,
+                        extension=Extension.NO_EXTENSION,
+                        aggregator="softmax")
+    want = np_reference(x, nn_idx, etype, W, Cout,
+                        Extension.NO_EXTENSION, "softmax")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def loss(x):
+        return jnp.sum(typed_mp_conv(
+            x, nn_idx, jnp.asarray(etype), jnp.asarray(W), Cout,
+            extension=Extension.NO_EXTENSION, aggregator="softmax"))
+
+    gx = jax.grad(loss)(jnp.asarray(x))
+    eps = 1e-3
+    x2 = x.copy()
+    x2[1, 3, 2] += eps
+    num = (np_reference(x2, nn_idx, etype, W, Cout,
+                        Extension.NO_EXTENSION, "softmax").sum()
+           - np_reference(x, nn_idx, etype, W, Cout,
+                          Extension.NO_EXTENSION, "softmax").sum()) / eps
+    np.testing.assert_allclose(float(gx[1, 3, 2]), num, rtol=2e-2)
+
+
+def test_trivial_gather_invalid_single_source_table(rng):
+    """A non-zero n_src==1 table must NOT silently broadcast row 0: the
+    shortcut declines and the general path's one-hot gather yields zero
+    rows for the out-of-range index (documented precondition)."""
+    B, Nd, K, T, Cin, Cout = 2, 4, 1, 1, 3, 2
+    x = rng.randn(B, 1, Cin).astype(np.float32)
+    bad = np.full((Nd, K), 7, np.int32)  # out of range for n_src == 1
+    etype = np.ones((B, Nd, K, T), np.float32)
+    W = rng.randn(Cin, Cout * T).astype(np.float32)
+    out = typed_mp_conv(jnp.asarray(x), bad, jnp.asarray(etype),
+                        jnp.asarray(W), Cout,
+                        extension=Extension.NO_EXTENSION, aggregator="sum")
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
