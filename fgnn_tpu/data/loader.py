@@ -45,10 +45,17 @@ class Prefetcher:
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                try:
-                    self._q.put_nowait(self._done)
-                except queue.Full:
-                    pass
+                # The done marker must use the same stop-aware bounded
+                # retry as items: with a fast producer and a slow consumer
+                # the queue is often FULL when the iterator ends, and a
+                # put_nowait would silently drop the marker, deadlocking
+                # the consumer's blocking get() forever.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._done, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()

@@ -305,8 +305,21 @@ def train_and_eval(workload: str, args):
     eval_step = make_eval_step(wl)
     eval_batches = max(args.test_size // args.batch_size, 1)
     accs, lp_accs = [], []
-    # eval always draws fresh oracle-labelled samples
-    for batch in batches(wl.dataset, args.batch_size, eval_batches):
+    # eval from a pre-generated oracle-labelled set when given (the
+    # reference workflow: generate_rpgm_dataset.sh writes train+test
+    # shards and train_syn_hop_factor.py:215-220 reads the test shard);
+    # otherwise draw fresh oracle-labelled samples inline.
+    test_path = getattr(args, "test_path", "")
+    if test_path:
+        from ..data.generate import NpzRPGMData
+
+        test_npz = NpzRPGMData(test_path, size=args.test_size)
+        eval_batches = min(eval_batches, len(test_npz) // args.batch_size)
+        eval_source = test_npz.batches(args.batch_size, shuffle=False)
+        eval_source = (b for _, b in zip(range(eval_batches), eval_source))
+    else:
+        eval_source = batches(wl.dataset, args.batch_size, eval_batches)
+    for batch in eval_source:
         pred = np.asarray(eval_step(state, batch)).reshape(
             batch["label"].shape)
         accs.append((pred == batch["label"]).mean())
@@ -339,6 +352,9 @@ def parse_args(argv=None, workload: str = "fixed"):
                    help="multiprocess sample-synthesis workers (0 = inline)")
     p.add_argument("--train-path", "--train_path", type=str, default="",
                    help="pre-generated .npz dataset (fgnn_tpu.data.generate)")
+    p.add_argument("--test-path", "--test_path", type=str, default="",
+                   help="pre-generated .npz eval dataset; empty = fresh "
+                        "oracle-labelled samples synthesized inline")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 compute policy (f32 params/stats)")
     p.add_argument("--mesh", type=str, default="",

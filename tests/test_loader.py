@@ -91,3 +91,28 @@ def test_checkpoint_version_mismatch_raises(tmp_path):
         pickle.dump(payload, f)
     with pytest.raises(ValueError, match="format version"):
         load_checkpoint(path, state)
+
+
+def test_prefetcher_fast_producer_slow_consumer_terminates():
+    """Regression: when the producer finishes while the bounded queue is
+    full (fast producer, consumer stalled e.g. in a jit compile), the done
+    marker must still arrive — put_nowait used to drop it, deadlocking the
+    consumer's blocking get()."""
+    import threading
+    import time
+
+    from fgnn_tpu.data.loader import Prefetcher
+
+    got = []
+
+    def consume():
+        p = Prefetcher(iter(range(10)), depth=2)
+        time.sleep(0.3)  # let the producer finish against a full queue
+        for item in p:
+            got.append(item)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "Prefetcher consumer deadlocked"
+    assert got == list(range(10))
