@@ -189,3 +189,37 @@ def batches(dataset, batch_size: int, n_batches: int) -> Iterator[dict]:
     for _ in range(n_batches):
         items = [dataset.sample() for _ in range(batch_size)]
         yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class MixedLengthHopData:
+    """Heterogeneous chain lengths for COO disjoint-union batching.
+
+    Each ``sample()`` returns one COMPOSITE group — one oracle-labelled
+    chain per configured length, concatenated along the node axis — so
+    the standard ``batches()`` stacker yields fixed-shape (B, sum_L, .)
+    arrays whose flattened form is a ragged multi-length batch with ZERO
+    padding.  Keeping the per-batch length composition fixed is the
+    TPU-native way to batch ragged graphs: shapes stay static, one
+    compile covers every batch (SURVEY.md §2.6; the dense path instead
+    pads every chain to the longest length).
+    """
+
+    def __init__(self, lengths, hop_order: int = 9,
+                 ret_efeature_pw: bool = False, seed: Optional[int] = None):
+        self.lengths = tuple(int(x) for x in lengths)
+        assert self.lengths, "need at least one chain length"
+        self.parts = [
+            RandomPGMHop(L, hop_order=hop_order,
+                         ret_efeature_pw=ret_efeature_pw,
+                         seed=None if seed is None else seed + 1000 * i)
+            for i, L in enumerate(self.lengths)
+        ]
+
+    @property
+    def total_nodes(self) -> int:
+        return sum(self.lengths)
+
+    def sample(self) -> dict:
+        items = [p.sample() for p in self.parts]
+        return {k: np.concatenate([it[k] for it in items])
+                for k in items[0]}

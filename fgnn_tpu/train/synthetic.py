@@ -92,18 +92,32 @@ class SynWorkload:
         elif workload == "hop" and getattr(args, "coo", False):
             # flat disjoint-union batching through the FactorGraph COO IR:
             # the model/params are identical to the dense path (see
-            # tests/test_coo_batching.py); uniform L here, but the same
-            # graphs batch heterogeneous lengths without padding
+            # tests/test_coo_batching.py).  --mixed-lengths "24,30,36"
+            # batches HETEROGENEOUS chain lengths in every batch with zero
+            # padding: each dataset sample is a composite group (one chain
+            # per length), so shapes stay static and one compile covers
+            # every batch while the flat union is genuinely ragged.
             from ..graph import build_joint_coo
             from ..models.synthetic import SynHopFactorModelCoo
 
             B = args.batch_size
-            nn_pw, ef_pw = pw_factor_table(L)
-            nn_high, ef_high = high_factor_table(L, args.hop_order)
-            coo_pw, efe_pw, _ = build_joint_coo([nn_pw] * B, [ef_pw] * B,
-                                                [L] * B)
-            coo_hi, efe_hi, _ = build_joint_coo([nn_high] * B, [ef_high] * B,
-                                                [L] * B)
+            mixed = getattr(args, "mixed_lengths", "")
+            lengths = ([int(x) for x in mixed.split(",") if x]
+                       if mixed else [L])
+            if mixed:
+                from ..data import MixedLengthHopData
+
+                self.dataset = MixedLengthHopData(
+                    lengths, hop_order=args.hop_order,
+                    ret_efeature_pw=False, seed=args.seed)
+            per_batch = lengths * B  # composite order, batch-major
+            pw_tabs = [pw_factor_table(Lx) for Lx in lengths] * B
+            hi_tabs = [high_factor_table(Lx, args.hop_order)
+                       for Lx in lengths] * B
+            coo_pw, efe_pw, _ = build_joint_coo(
+                [t for t, _ in pw_tabs], [e for _, e in pw_tabs], per_batch)
+            coo_hi, efe_hi, _ = build_joint_coo(
+                [t for t, _ in hi_tabs], [e for _, e in hi_tabs], per_batch)
             self.model = SynHopFactorModelCoo(hop_order=args.hop_order,
                                               **dim_kw)
             self.workload = "hop_coo"
@@ -363,4 +377,8 @@ def parse_args(argv=None, workload: str = "fixed"):
     p.add_argument("--coo", action="store_true", default=False,
                    help="(hop) batch via the FactorGraph COO disjoint union "
                         "instead of dense (B, N, K) tables")
+    p.add_argument("--mixed-lengths", "--mixed_lengths", type=str, default="",
+                   help="(hop --coo) comma list of chain lengths; every "
+                        "batch holds batch-size groups with one chain per "
+                        "length, flat-batched with zero padding")
     return p.parse_args(argv)

@@ -190,3 +190,31 @@ def test_hop_trainer_coo_mode_matches_dense(rng):
 
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4,
                                atol=2e-4)
+
+
+def test_mixed_length_trainer_end_to_end(tmp_path):
+    """The --coo --mixed-lengths trainer mode: heterogeneous chain lengths
+    in every batch, zero padding, one compile — through the full
+    train_and_eval CLI engine (train + checkpoint + eval)."""
+    from fgnn_tpu.train.synthetic import parse_args, train_and_eval
+
+    args = parse_args(
+        ["--train-epoches", "1", "--train-size", "8", "--test-size", "4",
+         "--batch-size", "2", "--coo", "--mixed-lengths", "9,12,15",
+         "--workers", "0", "--work-dir", str(tmp_path)], "hop")
+    acc, lp_acc = train_and_eval("hop", args)
+    assert 0.0 <= acc <= 1.0 and 0.0 <= lp_acc <= 1.0
+
+
+def test_mixed_length_composite_sampler(rng):
+    """MixedLengthHopData samples are ragged concatenations with exact
+    per-chain oracle labels (no padding rows anywhere)."""
+    from fgnn_tpu.data import MixedLengthHopData
+
+    ds = MixedLengthHopData([8, 11, 13], hop_order=5, seed=0)
+    s = ds.sample()
+    assert s["node_feature"].shape == (32, 2)  # 8 + 11 + 13, zero padding
+    assert s["label"].shape == (32,)
+    assert s["efeature_hop"].shape == (32, 5)
+    s2 = ds.sample()
+    assert not np.array_equal(s["node_feature"], s2["node_feature"])
