@@ -74,16 +74,19 @@ def bench_rpgm(batch_size, iters, L=30, hop=9):
     rng = np.random.RandomState(0)
     nn_pw, ef_pw = pw_factor_table(L)
     nn_hi, ef_hi = high_factor_table(L, hop)
-    args = (jnp.asarray(rng.rand(batch_size, L, 2).astype(np.float32)),
+    data = (jnp.asarray(rng.rand(batch_size, L, 2).astype(np.float32)),
             jnp.asarray(rng.rand(batch_size, L, 4).astype(np.float32)),
-            jnp.asarray(rng.rand(batch_size, L, hop).astype(np.float32)),
-            jnp.asarray(nn_pw), jnp.asarray(ef_pw),
-            jnp.asarray(nn_hi), jnp.asarray(ef_hi))
+            jnp.asarray(rng.rand(batch_size, L, hop).astype(np.float32)))
+    # graph tables ride the CLOSURE (trace-time constants), like the
+    # trainers — the fused kernel needs concrete tables to build its
+    # one-hot operator
+    tables = (nn_pw, ef_pw, nn_hi, ef_hi)
     model = SynHopFactorModel(hop_order=hop)
-    variables = jax.jit(lambda *a: model.init(*a, train=False))(
-        jax.random.PRNGKey(0), *args)
-    fwd = jax.jit(lambda v, *a: model.apply(v, *a, train=False))
-    dt = _time_steps(lambda: fwd(variables, *args), iters)
+    variables = jax.jit(lambda v, *a: model.init(v, *a, *tables,
+                                                 train=False))(
+        jax.random.PRNGKey(0), *data)
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a, *tables, train=False))
+    dt = _time_steps(lambda: fwd(variables, *data), iters)
     # 6 message-passing layers (the rest of the 10 dim transitions are
     # pointwise fallbacks per the factor_mpnn layer rule) x joint-graph
     # edges per type (pw: 2L dsts x K=2; hop: 2L x K=9)

@@ -54,13 +54,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_HG_STORE_CAP = 4 << 20  # keep the recomputed hg_all only when it fits
+
+
+def _store_hg(bt: int, C: int, T: int, E: int) -> bool:
+    """Whether the backward keeps all T recomputed hg chunks in VMEM
+    (saves T gather dots) or recomputes each hg_t in the gradient loop
+    (large T*E configurations, e.g. the 16-edge-type synthetic models)."""
+    return 2 * T * E * bt * C <= _HG_STORE_CAP
+
+
 def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
-    """VMEM bytes of the backward tile: hg_all (T*E, bTC) bf16 + msgs/dm
-    (E, bTC) f32 + h/dh blocks (T*Ns, bTC) f32 + g (Nd, bTC) + one-hot
-    constants (double-buffering of the streamed blocks is on top; the
-    12 MB cap below leaves room for it)."""
+    """VMEM bytes of the backward tile: hg_all (T*E, bTC) bf16 (when
+    stored) + msgs/dm (E, bTC) f32 + h/dh blocks (T*Ns, bTC) f32 + g
+    (Nd, bTC) + one-hot constants (double-buffering of the streamed
+    blocks is on top; the 12 MB cap below leaves room for it)."""
     bTC = bt * C
-    return (2 * T * E * bTC + 4 * 2 * E * bTC + 4 * 2 * T * Ns * bTC
+    hg = 2 * T * E * bTC if _store_hg(bt, C, T, E) else 0
+    return (hg + 4 * 2 * E * bTC + 4 * 2 * T * Ns * bTC
             + 4 * Nd * bTC + 4 * 2 * E * _round_up(Ns, _LANE))
 
 
@@ -79,7 +90,7 @@ def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
 def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
                     extension_name: str = "none", nout: int = 128) -> bool:
     """Whether the fused kernel covers this conv instance."""
-    if extension_name != "none":
+    if extension_name not in ("none", "diff", "neighbor"):
         return False
     if len(nn_idx_shape) != 2 or len(x_shape) != 3 or len(etype_shape) != 4:
         return False
@@ -88,12 +99,15 @@ def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
     B, Ns, Cin = x_shape
     Nd, K = nn_idx_shape
     T = etype_shape[-1]
-    if K > 8 or T > 8 or Ns > 512 or B < 1:
+    # Extensions stack [onehot(dst) | onehot(src)] over a doubled source
+    # block, and self terms index x by destination — needs Nd <= Ns.
+    n_eff = Ns if extension_name == "none" else 2 * Ns
+    if extension_name != "none" and Nd > Ns:
         return False
-    if B % 8 != 0 or Ns % 8 != 0:
-        return False  # TPU block rule: (8, 128)-divisible block dims
+    if K > 16 or T > 16 or n_eff > 1024 or B < 1:
+        return False
     E = Nd * K
-    return _batch_tile(B, nout, T, E, Ns, Nd) >= 8
+    return _batch_tile(B, nout, T, E, n_eff, Nd) >= 8
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +171,7 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, segt_ref, out_ref, msgs,
 
 def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, seg_ref, segt_ref,
                 dh_ref, det_ref, hg_all, msgs, dm,
-                *, Nd, K, T, C, aggregator, gamma, mm_dtype):
+                *, Nd, K, T, C, aggregator, gamma, mm_dtype, store_hg):
     """Recompute + backward.  One program = bT batch rows.
 
     g_ref: (Nd, bT*C)  oht_ref: (N, E)  seg_ref: (bT*C, bT) 0/1 blocks
@@ -168,11 +182,13 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, seg_ref, segt_ref,
     oh = oh_ref[...].astype(mm_dtype)
     segt = segt_ref[...].astype(mm_dtype)
 
-    # ---- recompute per-edge messages, keeping each hg_t for d_etype
+    # ---- recompute per-edge messages (keeping each hg_t for d_etype
+    # when the scratch fits, else they are recomputed in the loop below)
     for t in range(T):
         hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
                            preferred_element_type=jnp.float32)
-        hg_all[t * E:(t + 1) * E] = hg_t.astype(hg_all.dtype)
+        if store_hg:
+            hg_all[t * E:(t + 1) * E] = hg_t.astype(hg_all.dtype)
         term = hg_t * _expand(et_ref[t].T, segt, mm_dtype)
         if t == 0:
             msgs[...] = term
@@ -218,7 +234,12 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, seg_ref, segt_ref,
     oht = oht_ref[...].astype(mm_dtype)
     seg = seg_ref[...].astype(mm_dtype)
     for t in range(T):
-        prod = (dm[...] * hg_all[t * E:(t + 1) * E]).astype(mm_dtype)
+        if store_hg:
+            hg_t = hg_all[t * E:(t + 1) * E]
+        else:
+            hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                               preferred_element_type=jnp.float32)
+        prod = (dm[...] * hg_t).astype(mm_dtype)
         det_ref[t] = jax.lax.dot(
             prod, seg, preferred_element_type=jnp.float32
         ).T.astype(det_ref.dtype)
@@ -269,9 +290,11 @@ def _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
     E = Nd * K
     C = nout
     mm_dtype = jnp.dtype(mm_dtype_name)
+    store_hg = _store_hg(bT, C, T, E)
     kern = functools.partial(
         _bwd_kernel, Nd=Nd, K=K, T=T, C=C,
-        aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype)
+        aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype,
+        store_hg=store_hg)
     dh5, det3 = pl.pallas_call(
         kern,
         grid=(BC // (bT * C),),
@@ -293,7 +316,7 @@ def _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
             jax.ShapeDtypeStruct((T, et3.shape[1], E), et3.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T * E, bT * C), mm_dtype),
+            pltpu.VMEM((T * E if store_hg else 8, bT * C), mm_dtype),
             pltpu.VMEM((E, bT * C), jnp.float32),
             pltpu.VMEM((E, bT * C), jnp.float32),
         ],
@@ -335,15 +358,25 @@ def fused_typed_mp(
     filters: jax.Array,
     nout: int,
     *,
+    extension: str = "none",
     aggregator: str = "max",
     gamma: float = 3.0,
     bias: Optional[jax.Array] = None,
     precision: Optional[str] = None,
 ) -> jax.Array:
-    """Drop-in fused replacement for typed_mp_conv's NO_EXTENSION path.
+    """Drop-in fused replacement for the typed_mp_conv shared-table path.
 
     x (B, N_src, Cin), nn_idx (Nd, K) shared, etype (B, Nd, K, T),
-    filters (Cin, nout*T) in the reference column layout c*T+t.
+    filters (Cin, nout*T) — or (2*Cin, nout*T) for the extensions — in
+    the reference column layout c*T+t.
+
+    Extensions ride the SAME kernel: [x_i ; x_i - x_j] W splits into
+    x_i (W_self + W_nbr) - x_j W_nbr (typed_mp.py), which the kernel
+    evaluates as ONE gather dot against a stacked operand —
+    oh2 = [onehot(dst) | onehot(src)] (E, 2N) contracted with
+    [h_a ; sign * h_b] (2N, bT*C) — so dst-self terms and neighbor terms
+    come out of the same MXU contraction.
+
     ``precision='float32'`` keeps in-kernel matmuls at f32 (parity tests);
     the default uses bf16 operands with f32 accumulation, matching the
     XLA path's default TPU matmul precision.
@@ -354,25 +387,51 @@ def fused_typed_mp(
     Nd, K = nn_idx.shape
     T = etype.shape[-1]
     C = nout
-    bT = _batch_tile(B, C, T, Nd * K, N, Nd)
+    n_eff = N if extension == "none" else 2 * N
+    bT = _batch_tile(B, C, T, Nd * K, n_eff, Nd)
 
     # layout transforms (all tiny; they stay inside the autodiff graph so
     # their transposes are differentiated by XLA, outside the custom VJP)
-    # t-major filter columns: h (B, N, T*C), m = t*C + c
-    wt = jnp.transpose(filters.reshape(Cin, C, T), (0, 2, 1)).reshape(
-        Cin, T * C)
-    h = jnp.matmul(x.astype(jnp.float32), wt.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
-    h5 = jnp.transpose(h.reshape(B, N, T, C), (2, 1, 0, 3)).reshape(
-        T, N, B * C)
+    # t-major filter columns: h (B, n_eff, T*C), m = t*C + c
+    def tmajor(w):
+        return jnp.transpose(w.reshape(Cin, C, T), (0, 2, 1)).reshape(
+            Cin, T * C)
+
+    if extension == "none":
+        h = jnp.matmul(x.astype(jnp.float32),
+                       tmajor(filters).astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    else:
+        w_self = filters[:Cin]
+        w_nbr = filters[Cin:]
+        if extension == "diff":
+            wa, sign = tmajor(w_self + w_nbr), -1.0
+        elif extension == "neighbor":
+            wa, sign = tmajor(w_self), 1.0
+        else:
+            raise ValueError(f"unknown extension {extension!r}")
+        xf = x.astype(jnp.float32)
+        ha = jnp.matmul(xf, wa.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        hb = jnp.matmul(xf, tmajor(w_nbr).astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        h = jnp.concatenate([ha, sign * hb], axis=1)       # (B, 2N, TC)
+    h5 = jnp.transpose(h.reshape(B, n_eff, T, C), (2, 1, 0, 3)).reshape(
+        T, n_eff, B * C)
     # k-major edge rows (k*Nd + d), batch second (block-rule compliant)
     et3 = jnp.transpose(etype.astype(jnp.float32), (3, 0, 2, 1)).reshape(
         T, B, K * Nd)
 
     # nn_idx must be a trace-time constant (the dispatcher guarantees it)
     idx_np = np.asarray(nn_idx)
-    oh_np = np.zeros((K * Nd, N), np.float32)
-    oh_np[np.arange(K * Nd), idx_np.T.reshape(-1)] = 1.0
+    oh_np = np.zeros((K * Nd, n_eff), np.float32)
+    src_cols = idx_np.T.reshape(-1)
+    if extension == "none":
+        oh_np[np.arange(K * Nd), src_cols] = 1.0
+    else:
+        dst_cols = np.tile(np.arange(Nd), K)               # row k*Nd + d
+        oh_np[np.arange(K * Nd), dst_cols] = 1.0           # self term
+        oh_np[np.arange(K * Nd), N + src_cols] += 1.0      # neighbor term
     oh = jnp.asarray(oh_np)
     oht = jnp.asarray(oh_np.T.copy())
     seg_np = np.zeros((bT * C, bT), np.float32)

