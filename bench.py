@@ -114,13 +114,21 @@ def main():
 
         set_compute_dtype(jnp.bfloat16)
 
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    baselines = json.load(open(base_path)) if os.path.exists(base_path) else {}
+
     if os.environ.get("FGNN_BENCH_SKIP_RPGM") != "1":
         rpgm_eps = bench_rpgm(batch_size, iters)
-        print(json.dumps({
+        row = {
             "metric": "rpgm_edges_per_s",
             "value": round(rpgm_eps, 1),
             "unit": "edges/s",
-        }))
+        }
+        if "rpgm_edges_per_s" in baselines:
+            row["vs_baseline"] = round(
+                rpgm_eps / baselines["rpgm_edges_per_s"], 4)
+        print(json.dumps(row))
 
     ds = ContinuousCodesSP(length=batch_size, seed=0)
     batch = jax.device_put(next(ds.batches(batch_size)))

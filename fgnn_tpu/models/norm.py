@@ -103,7 +103,9 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)  # stats always in f32 (bf16 policy safe)
             mean = jnp.mean(xf, axis=reduce_axes)
             # two-pass squared-deviation form: E[x^2]-E[x]^2 cancels
-            # catastrophically in f32 when |mean| >> std (torch is stable)
+            # catastrophically in f32 when |mean| >> std (torch is
+            # stable; a one-pass variant was tried and FAILED full-config
+            # golden parity by 0.1 absolute on the syn_fixed model)
             var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
             n = 1
             for a in reduce_axes:

@@ -71,8 +71,16 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
     blocks is on top; the 12 MB cap below leaves room for it)."""
     bTC = bt * C
     hg = 2 * T * E * bTC if _store_hg(bt, C, T, E) else 0
-    return (hg + 4 * 2 * E * bTC + 4 * 2 * T * Ns * bTC
+    # h5/dh blocks ride the bf16 matmul dtype (2 bytes)
+    return (hg + 4 * 2 * E * bTC + 2 * 2 * T * Ns * bTC
             + 4 * Nd * bTC + 4 * 2 * E * _round_up(Ns, _LANE))
+
+
+# The scoped-VMEM limit is 16 MB and the MEASURED kernel footprint runs
+# ~1.7x the byte estimates above (block double-buffering, layout padding,
+# VREG spill): a 9 MB estimate cap lands at ~15.5 MB real.  Calibrated
+# against an observed 20.24 MB OOM at an 11.7 MB estimate.
+_VMEM_EST_CAP = 9 << 20
 
 
 def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
@@ -82,7 +90,18 @@ def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
     callers treat a return of 1 as unsupported."""
     for bt in (32, 16, 8):
         if (B % bt == 0 and bt * C <= 4096 and bt * C % _LANE == 0
-                and _bwd_bytes(bt, C, T, E, Ns, Nd) <= 12 << 20):
+                and _bwd_bytes(bt, C, T, E, Ns, Nd) <= _VMEM_EST_CAP):
+            return bt
+    return 1
+
+
+def _fwd_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
+    """The forward working set is much leaner (h block + msgs + out), so
+    it can run wider tiles than the backward — fewer, larger MXU dots."""
+    for bt in (64, 32, 16, 8):
+        bytes_ = (2 * T * Ns + 4 * 2 * E + 4 * Nd) * bt * C
+        if (B % bt == 0 and bt * C <= 8192 and bt * C % _LANE == 0
+                and bytes_ <= _VMEM_EST_CAP):
             return bt
     return 1
 
@@ -115,30 +134,37 @@ def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
 # ---------------------------------------------------------------------------
 
 
-def _expand(et_t, segt, mm_dtype):
-    """(E, bT) -> (E, bT*C): repeat each batch lane C times (c-minor).
+def _seg_mats(bT, C, mm_dtype):
+    """The 0/1 batch<->lane segment matrices, built in-VREG from iota:
+    segt (bT, bT*C) expands per-batch scalars to their C lanes (via MXU),
+    seg (bT*C, bT) is its transpose for segmented channel sums.
+    pltpu.repeat is a TILE repeat, not an element repeat, so it cannot
+    build this layout."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bT, bT * C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bT, bT * C), 1)
+    segt = (cols // C == rows).astype(mm_dtype)
+    return segt, segt.T
 
-    Runs on the MXU against the 0/1 expansion matrix segt (bT, bT*C)
-    whose row b is 1 exactly on its C lanes (pltpu.repeat is a TILE
-    repeat, not an element repeat, so it cannot build this layout)."""
+
+def _expand(et_t, segt, mm_dtype):
+    """(E, bT) -> (E, bT*C): repeat each batch lane C times (c-minor)."""
     return jax.lax.dot(et_t.astype(mm_dtype), segt,
                        preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(oh_ref, h_ref, et_ref, segt_ref, out_ref, msgs,
-                *, Nd, K, T, C, aggregator, gamma, mm_dtype):
+def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, msgs,
+                *, Nd, K, T, C, bT, aggregator, gamma, mm_dtype):
     """One program = bT batch rows across the lane dim.
 
     oh_ref: (E, N) k-major rows   h_ref: (T, N, bT*C)   et_ref: (T, bT, E)
-    segt_ref: (bT, bT*C)          out_ref: (Nd, bT*C)
-    scratch msgs: (E, bT*C) f32
+    out_ref: (Nd, bT*C)           scratch msgs: (E, bT*C) f32
 
     et rides batch-second-minor (TPU block rule: last two block dims must
     be (8,128)-divisible or full; (bT, E) satisfies it, (E, bT) cannot)
     and is transposed to (E, bT) in-VREG before the expansion dot.
     """
     oh = oh_ref[...].astype(mm_dtype)
-    segt = segt_ref[...].astype(mm_dtype)
+    segt, _ = _seg_mats(bT, C, mm_dtype)
     for t in range(T):
         hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
                            preferred_element_type=jnp.float32)
@@ -169,18 +195,18 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, segt_ref, out_ref, msgs,
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, seg_ref, segt_ref,
+def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref,
                 dh_ref, det_ref, hg_all, msgs, dm,
-                *, Nd, K, T, C, aggregator, gamma, mm_dtype, store_hg):
+                *, Nd, K, T, C, bT, aggregator, gamma, mm_dtype, store_hg):
     """Recompute + backward.  One program = bT batch rows.
 
-    g_ref: (Nd, bT*C)  oht_ref: (N, E)  seg_ref: (bT*C, bT) 0/1 blocks
-    segt_ref: (bT, bT*C)  dh_ref: (T, N, bT*C)  det_ref: (T, bT, E)
+    g_ref: (Nd, bT*C)  oht_ref: (N, E)
+    dh_ref: (T, N, bT*C)  det_ref: (T, bT, E)
     scratch: hg_all (T*E, bT*C) f32, msgs (E, bT*C) f32, dm (E, bT*C) f32
     """
     E = Nd * K
     oh = oh_ref[...].astype(mm_dtype)
-    segt = segt_ref[...].astype(mm_dtype)
+    segt, seg = _seg_mats(bT, C, mm_dtype)
 
     # ---- recompute per-edge messages (keeping each hg_t for d_etype
     # when the scratch fits, else they are recomputed in the loop below)
@@ -232,7 +258,6 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, seg_ref, segt_ref,
     # The segmented channel sum runs on the MXU against the 0/1 block
     # matrix seg (bT*C, bT): column b is 1 exactly on its C lanes.
     oht = oht_ref[...].astype(mm_dtype)
-    seg = seg_ref[...].astype(mm_dtype)
     for t in range(T):
         if store_hg:
             hg_t = hg_all[t * E:(t + 1) * E]
@@ -259,14 +284,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
-                    mm_dtype_name, Nd, K, bT):
+def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
+                    mm_dtype_name, Nd, K, bT, bTf):
+    bT = bTf  # the forward runs its own (wider) tile
     T, N, BC = h5.shape
     E = Nd * K
     C = nout
     mm_dtype = jnp.dtype(mm_dtype_name)
     kern = functools.partial(
-        _fwd_kernel, Nd=Nd, K=K, T=T, C=C,
+        _fwd_kernel, Nd=Nd, K=K, T=T, C=C, bT=bT,
         aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype)
     return pl.pallas_call(
         kern,
@@ -275,24 +301,23 @@ def _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
             pl.BlockSpec((E, N), lambda i: (0, 0)),
             pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
             pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
-            pl.BlockSpec((bT, bT * C), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((Nd, BC), jnp.float32),
         scratch_shapes=[pltpu.VMEM((E, bT * C), jnp.float32)],
         interpret=_interpret(),
-    )(oh, h5, et3, segt)
+    )(oh, h5, et3)
 
 
-def _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
-                    mm_dtype_name, Nd, K, bT, g):
+def _fused_bwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
+                    mm_dtype_name, Nd, K, bT, bTf, g):
     T, N, BC = h5.shape
     E = Nd * K
     C = nout
     mm_dtype = jnp.dtype(mm_dtype_name)
     store_hg = _store_hg(bT, C, T, E)
     kern = functools.partial(
-        _bwd_kernel, Nd=Nd, K=K, T=T, C=C,
+        _bwd_kernel, Nd=Nd, K=K, T=T, C=C, bT=bT,
         aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype,
         store_hg=store_hg)
     dh5, det3 = pl.pallas_call(
@@ -304,15 +329,13 @@ def _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
             pl.BlockSpec((N, E), lambda i: (0, 0)),
             pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
             pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
-            pl.BlockSpec((bT * C, bT), lambda i: (0, 0)),
-            pl.BlockSpec((bT, bT * C), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
             pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, N, BC), jnp.float32),
+            jax.ShapeDtypeStruct((T, N, BC), h5.dtype),
             jax.ShapeDtypeStruct((T, et3.shape[1], E), et3.dtype),
         ],
         scratch_shapes=[
@@ -321,31 +344,33 @@ def _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
             pltpu.VMEM((E, bT * C), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g, oh, oht, h5, et3, seg, segt)
+    )(g, oh, oht, h5, et3)
     return dh5, det3
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
-def _fused(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
-           mm_dtype_name, Nd, K, bT):
-    return _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator,
-                           gamma, mm_dtype_name, Nd, K, bT)
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _fused(h5, et3, oh, oht, nout, aggregator, gamma,
+           mm_dtype_name, Nd, K, bT, bTf):
+    return _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
+                           gamma, mm_dtype_name, Nd, K, bT, bTf)
 
 
-def _fused_fwd(h5, et3, oh, oht, seg, segt, nout, aggregator, gamma,
-               mm_dtype_name, Nd, K, bT):
-    out = _fused_fwd_impl(h5, et3, oh, oht, seg, segt, nout, aggregator,
-                          gamma, mm_dtype_name, Nd, K, bT)
-    return out, (h5, et3, oh, oht, seg, segt)
+def _fused_fwd(h5, et3, oh, oht, nout, aggregator, gamma,
+               mm_dtype_name, Nd, K, bT, bTf):
+    out = _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
+                          gamma, mm_dtype_name, Nd, K, bT, bTf)
+    return out, (h5, et3, oh, oht)
 
 
-def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, bT, res, g):
-    h5, et3, oh, oht, seg, segt = res
-    dh5, det3 = _fused_bwd_impl(h5, et3, oh, oht, seg, segt, nout,
+def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, bT, bTf,
+               res, g):
+    h5, et3, oh, oht = res
+    dh5, det3 = _fused_bwd_impl(h5, et3, oh, oht, nout,
                                 aggregator, gamma, mm_dtype_name, Nd, K,
-                                bT, g)
+                                bT, bTf, g)
     return (dh5.astype(h5.dtype), det3, jnp.zeros_like(oh),
-            jnp.zeros_like(oht), jnp.zeros_like(seg), jnp.zeros_like(segt))
+            jnp.zeros_like(oht))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -389,6 +414,8 @@ def fused_typed_mp(
     C = nout
     n_eff = N if extension == "none" else 2 * N
     bT = _batch_tile(B, C, T, Nd * K, n_eff, Nd)
+    bTf = _fwd_tile(B, C, T, Nd * K, n_eff, Nd)
+    bTf = max(bTf, bT)
 
     # layout transforms (all tiny; they stay inside the autodiff graph so
     # their transposes are differentiated by XLA, outside the custom VJP)
@@ -416,8 +443,13 @@ def fused_typed_mp(
         hb = jnp.matmul(xf, tmajor(w_nbr).astype(jnp.float32),
                         preferred_element_type=jnp.float32)
         h = jnp.concatenate([ha, sign * hb], axis=1)       # (B, 2N, TC)
+    mm_dtype_name = ("float32" if (precision == "float32" or _interpret())
+                     else "bfloat16")
+    # h5 is stored in the matmul dtype: the kernel rounds its operands to
+    # it anyway, so this halves the streamed block bytes at no numeric
+    # cost relative to the f32-storage variant.
     h5 = jnp.transpose(h.reshape(B, n_eff, T, C), (2, 1, 0, 3)).reshape(
-        T, n_eff, B * C)
+        T, n_eff, B * C).astype(jnp.dtype(mm_dtype_name))
     # k-major edge rows (k*Nd + d), batch second (block-rule compliant)
     et3 = jnp.transpose(etype.astype(jnp.float32), (3, 0, 2, 1)).reshape(
         T, B, K * Nd)
@@ -434,15 +466,9 @@ def fused_typed_mp(
         oh_np[np.arange(K * Nd), N + src_cols] += 1.0      # neighbor term
     oh = jnp.asarray(oh_np)
     oht = jnp.asarray(oh_np.T.copy())
-    seg_np = np.zeros((bT * C, bT), np.float32)
-    seg_np[np.arange(bT * C), np.arange(bT * C) // C] = 1.0
-    seg = jnp.asarray(seg_np)
-    segt = jnp.asarray(seg_np.T.copy())
 
-    mm_dtype_name = ("float32" if (precision == "float32" or _interpret())
-                     else "bfloat16")
-    out2 = _fused(h5, et3, oh, oht, seg, segt, nout, aggregator,
-                  float(gamma), mm_dtype_name, Nd, K, bT)  # (Nd, B*C)
+    out2 = _fused(h5, et3, oh, oht, nout, aggregator,
+                  float(gamma), mm_dtype_name, Nd, K, bT, bTf)  # (Nd, B*C)
     out = jnp.transpose(out2.reshape(Nd, B, C), (1, 0, 2)).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
