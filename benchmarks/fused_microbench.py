@@ -38,6 +38,8 @@ def time_fn(fn, *args, iters=50):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,9 +48,14 @@ def main():
     from fgnn_tpu.ops.typed_mp import Extension, typed_mp_conv
     from fgnn_tpu.utils import enable_compilation_cache
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write a JSON artifact")
+    cli = ap.parse_args()
+
     enable_compilation_cache()
     rng = np.random.RandomState(0)
     B = int(os.environ.get("FGNN_BENCH_BATCH", "256"))
+    records = []
 
     # LDPC flagship conv shapes: (name, N_src, Cin, Nd, K, T, C)
     shapes = [
@@ -93,6 +100,13 @@ def main():
             rec["fwdbwd_speedup"] = round(
                 rec["xla_fwdbwd_ms"] / rec["fused_fwdbwd_ms"], 2)
             print(json.dumps(rec), flush=True)
+            records.append(rec)
+
+    if cli.out:
+        with open(cli.out, "w") as f:
+            json.dump({"device": jax.devices()[0].device_kind,
+                       "rows": records}, f, indent=1)
+        print(f"wrote {cli.out}")
 
 
 if __name__ == "__main__":

@@ -152,7 +152,7 @@ def _expand(et_t, segt, mm_dtype):
                        preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, msgs,
+def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, amax_ref, msgs,
                 *, Nd, K, T, C, bT, aggregator, gamma, mm_dtype):
     """One program = bT batch rows across the lane dim.
 
@@ -175,9 +175,16 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, msgs,
             msgs[...] += term
 
     if aggregator == "max":
+        # first-win argmax: the backward reuses it instead of recomputing
+        # the whole message tensor
         acc = msgs[0:Nd]
+        am = jnp.zeros_like(acc, dtype=jnp.int32)
         for k in range(1, K):
-            acc = jnp.maximum(acc, msgs[k * Nd:(k + 1) * Nd])
+            blk = msgs[k * Nd:(k + 1) * Nd]
+            take = blk > acc
+            acc = jnp.where(take, blk, acc)
+            am = jnp.where(take, k, am)
+        amax_ref[...] = am
     elif aggregator in ("sum", "mean"):
         acc = msgs[0:Nd]
         for k in range(1, K):
@@ -195,44 +202,45 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, msgs,
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref,
+def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, amax_ref,
                 dh_ref, det_ref, hg_all, msgs, dm,
                 *, Nd, K, T, C, bT, aggregator, gamma, mm_dtype, store_hg):
     """Recompute + backward.  One program = bT batch rows.
 
-    g_ref: (Nd, bT*C)  oht_ref: (N, E)
+    g_ref: (Nd, bT*C)  oht_ref: (N, E)  amax_ref: (Nd, bT*C) i32
     dh_ref: (T, N, bT*C)  det_ref: (T, bT, E)
     scratch: hg_all (T*E, bT*C) f32, msgs (E, bT*C) f32, dm (E, bT*C) f32
+
+    For max (forward-saved argmax), sum and mean, the aggregation
+    cotangent needs no message values, so the forward-recompute pass is
+    SKIPPED; hg_t is recomputed per t in the gradient loop (2T gather
+    dots total instead of 3T).  softmax still recomputes the messages
+    (its weights need them).
     """
     E = Nd * K
     oh = oh_ref[...].astype(mm_dtype)
     segt, seg = _seg_mats(bT, C, mm_dtype)
 
-    # ---- recompute per-edge messages (keeping each hg_t for d_etype
-    # when the scratch fits, else they are recomputed in the loop below)
-    for t in range(T):
-        hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
-                           preferred_element_type=jnp.float32)
-        if store_hg:
-            hg_all[t * E:(t + 1) * E] = hg_t.astype(hg_all.dtype)
-        term = hg_t * _expand(et_ref[t].T, segt, mm_dtype)
-        if t == 0:
-            msgs[...] = term
-        else:
-            msgs[...] += term
+    need_msgs = aggregator == "softmax"
+    if need_msgs:
+        # ---- recompute per-edge messages (keeping each hg_t for d_etype
+        # when the scratch fits, else recomputed in the loop below)
+        for t in range(T):
+            hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                               preferred_element_type=jnp.float32)
+            if store_hg:
+                hg_all[t * E:(t + 1) * E] = hg_t.astype(hg_all.dtype)
+            term = hg_t * _expand(et_ref[t].T, segt, mm_dtype)
+            if t == 0:
+                msgs[...] = term
+            else:
+                msgs[...] += term
 
     g = g_ref[...].astype(jnp.float32)  # (Nd, bT*C)
 
     # ---- aggregation cotangent dm (E, bT*C)
     if aggregator == "max":
-        # deterministic first-win argmax, recomputed
-        run = msgs[0:Nd]
-        am = jnp.zeros_like(run, dtype=jnp.int32)
-        for k in range(1, K):
-            blk = msgs[k * Nd:(k + 1) * Nd]
-            take = blk > run
-            run = jnp.where(take, blk, run)
-            am = jnp.where(take, k, am)
+        am = amax_ref[...]
         for k in range(K):
             dm[k * Nd:(k + 1) * Nd] = jnp.where(am == k, g, 0.0)
     elif aggregator == "sum":
@@ -259,7 +267,7 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref,
     # matrix seg (bT*C, bT): column b is 1 exactly on its C lanes.
     oht = oht_ref[...].astype(mm_dtype)
     for t in range(T):
-        if store_hg:
+        if need_msgs and store_hg:
             hg_t = hg_all[t * E:(t + 1) * E]
         else:
             hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
@@ -294,7 +302,7 @@ def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
     kern = functools.partial(
         _fwd_kernel, Nd=Nd, K=K, T=T, C=C, bT=bT,
         aggregator=aggregator, gamma=gamma, mm_dtype=mm_dtype)
-    return pl.pallas_call(
+    out, amax = pl.pallas_call(
         kern,
         grid=(BC // (bT * C),),
         in_specs=[
@@ -302,14 +310,21 @@ def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
             pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
             pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
         ],
-        out_specs=pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((Nd, BC), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
+            pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Nd, BC), jnp.float32),
+            jax.ShapeDtypeStruct((Nd, BC), jnp.int32),
+        ],
         scratch_shapes=[pltpu.VMEM((E, bT * C), jnp.float32)],
         interpret=_interpret(),
     )(oh, h5, et3)
+    return out, amax
 
 
-def _fused_bwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
+def _fused_bwd_impl(h5, et3, oh, oht, amax, nout, aggregator, gamma,
                     mm_dtype_name, Nd, K, bT, bTf, g):
     T, N, BC = h5.shape
     E = Nd * K
@@ -329,6 +344,7 @@ def _fused_bwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
             pl.BlockSpec((N, E), lambda i: (0, 0)),
             pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
             pl.BlockSpec((T, bT, E), lambda i: (0, i, 0)),
+            pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
         ],
         out_specs=[
             pl.BlockSpec((T, N, bT * C), lambda i: (0, 0, i)),
@@ -344,7 +360,7 @@ def _fused_bwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
             pltpu.VMEM((E, bT * C), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g, oh, oht, h5, et3)
+    )(g, oh, oht, h5, et3, amax)
     return dh5, det3
 
 
@@ -352,21 +368,22 @@ def _fused_bwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
                    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _fused(h5, et3, oh, oht, nout, aggregator, gamma,
            mm_dtype_name, Nd, K, bT, bTf):
-    return _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
-                           gamma, mm_dtype_name, Nd, K, bT, bTf)
+    out, _ = _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
+                             gamma, mm_dtype_name, Nd, K, bT, bTf)
+    return out
 
 
 def _fused_fwd(h5, et3, oh, oht, nout, aggregator, gamma,
                mm_dtype_name, Nd, K, bT, bTf):
-    out = _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
-                          gamma, mm_dtype_name, Nd, K, bT, bTf)
-    return out, (h5, et3, oh, oht)
+    out, amax = _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
+                                gamma, mm_dtype_name, Nd, K, bT, bTf)
+    return out, (h5, et3, oh, oht, amax)
 
 
 def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, bT, bTf,
                res, g):
-    h5, et3, oh, oht = res
-    dh5, det3 = _fused_bwd_impl(h5, et3, oh, oht, nout,
+    h5, et3, oh, oht, amax = res
+    dh5, det3 = _fused_bwd_impl(h5, et3, oh, oht, amax, nout,
                                 aggregator, gamma, mm_dtype_name, Nd, K,
                                 bT, bTf, g)
     return (dh5.astype(h5.dtype), det3, jnp.zeros_like(oh),
