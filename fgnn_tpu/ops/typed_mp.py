@@ -348,10 +348,16 @@ def typed_mp_conv(
             hg = _trivial_gather(h, idx_np, n_src)
             if hg is not None:
                 hg = hg.reshape(*hg.shape[:-1], nout, T)
-                msgs = jnp.einsum(
-                    "bnkct,bnkt->bnkc", hg, etype.astype(dtype),
-                    precision=precision,
-                    preferred_element_type=jnp.float32)
+                et = etype.astype(dtype)
+                if T == 1:
+                    # the LDPC global-factor convs: a 1-type "mix" is a
+                    # plain elementwise scale — an einsum here lowers to a
+                    # dot_general batched over (b, n, k), which the TPU
+                    # executes as a storm of tiny dots
+                    msgs = hg[..., 0] * et
+                else:
+                    # multiply + reduce fuses on the VPU (no batched dot)
+                    msgs = jnp.sum(hg * et[..., None, :], axis=-1)
                 out = aggregate(msgs, aggregator, gamma)
                 if bias is not None:
                     out = out + bias.astype(out.dtype)
