@@ -126,16 +126,18 @@ def main():
         print(json.dumps({"variant": "full_step",
                           "error": repr(e)[:200]}), flush=True)
 
-    # 4. optimizer alone (update+apply on existing grads)
-    grads = fwdbwd(state.params, state.batch_stats)
-    grads = jax.device_put(jax.device_get(grads))
+    # 4. optimizer alone (update+apply on existing grads).  The original
+    # `state` was DONATED into the timed train steps above, so use the
+    # live carried state (reading donated buffers raises).
+    live = holder["s"]
+    grads = fwdbwd(live.params, live.batch_stats)
 
     @jax.jit
     def opt_only(g, opt_state, params):
         updates, new_opt = tx.update(g, opt_state, params)
         return optax.apply_updates(params, updates)
 
-    run("adam_only", opt_only, grads, state.opt_state, state.params)
+    run("adam_only", opt_only, grads, live.opt_state, live.params)
 
 
 if __name__ == "__main__":
