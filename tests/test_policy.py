@@ -29,3 +29,64 @@ def test_bf16_policy_close_to_f32(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                rtol=0.1, atol=0.1)
     assert np.isfinite(np.asarray(got, np.float32)).all()
+
+
+def test_fused_kernel_under_bf16_policy(rng, monkeypatch):
+    """The bench/flagship combination: bf16 compute policy batches through
+    the fused kernel (interpret mode on CPU) and stays close to the f32
+    XLA path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fgnn_tpu.models.mp_conv import MPConv
+    from fgnn_tpu.models.policy import set_compute_dtype
+    from fgnn_tpu.ops import Extension
+
+    monkeypatch.setenv("FGNN_FUSED", "1")
+    B, N, Cin, Nd, K, T, C = 8, 16, 8, 16, 3, 4, 16
+    x = jnp.asarray(rng.randn(B, N, Cin), jnp.float32)
+    nn = rng.randint(0, N, (Nd, K)).astype(np.int32)
+    et = jnp.asarray(rng.randn(B, Nd, K, T), jnp.float32)
+    conv = MPConv(nout=C, nedge_types=T, extension=Extension.NO_EXTENSION,
+                  aggregator="max", use_bn=False)
+    variables = conv.init(jax.random.PRNGKey(0), x, nn, et, train=False)
+
+    ref = conv.apply(variables, x, nn, et, train=False)
+    try:
+        set_compute_dtype(jnp.bfloat16)
+        got = conv.apply(variables, x, nn, et, train=False)
+        g = jax.grad(lambda v: jnp.sum(
+            conv.apply(v, x, nn, et, train=False)))(variables)
+    finally:
+        set_compute_dtype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(g))
+
+
+def test_mesh_training_pins_xla_conv_path(monkeypatch, rng):
+    """prepare_mesh_training must default the fused kernel off (the
+    Pallas custom call has no SPMD rule) while honoring an explicit
+    override."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from fgnn_tpu.train.common import TrainState, make_optimizer, \
+        prepare_mesh_training
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = make_optimizer(1e-3)
+    state = TrainState(params=params, batch_stats={},
+                       opt_state=tx.init(params),
+                       gcnt=jnp.asarray(0, jnp.int32))
+    monkeypatch.delenv("FGNN_FUSED", raising=False)
+    prepare_mesh_training("4x2", state, 8, devices=jax.devices("cpu")[:8])
+    assert os.environ.get("FGNN_FUSED") == "0"
+
+    monkeypatch.setenv("FGNN_FUSED", "1")
+    prepare_mesh_training("4x2", state, 8, devices=jax.devices("cpu")[:8])
+    assert os.environ.get("FGNN_FUSED") == "1"
