@@ -33,6 +33,20 @@ leading-dim slices.  Matmuls use bf16 operands with f32 accumulation by
 default — identical numerics to the XLA path's default TPU matmul
 precision — and f32 when ``precision='float32'`` (parity tests; CPU
 interpret mode).
+
+Max-tie gradient semantics: on EXACT message ties the backward routes the
+whole cotangent to the first-winning k slot (the forward-saved first-win
+argmax), while the XLA fallback's ``jnp.max`` VJP splits it evenly among
+tied slots.  Both are valid subgradients of the same function and the
+event is measure-zero with continuous features; the divergence is
+documented (and asserted) in tests/test_fused_mp.py
+``test_max_tie_gradient_semantics``.
+
+SPMD: the kernel itself has no partitioning rule.  Multi-device runs wrap
+it in ``jax.shard_map`` over the batch axis via
+``fgnn_tpu.ops.typed_mp._spmd_fused_call`` (the dispatcher consults the
+mesh registered by ``prepare_mesh_training``), so mesh training keeps the
+fused kernel instead of falling back to the XLA path.
 """
 
 from __future__ import annotations
@@ -64,33 +78,65 @@ def _store_hg(bt: int, C: int, T: int, E: int) -> bool:
     return 2 * T * E * bt * C <= _HG_STORE_CAP
 
 
-def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
-    """VMEM bytes of the backward tile: hg_all (T*E, bTC) bf16 (when
-    stored) + msgs/dm (E, bTC) f32 + h/dh blocks (T*Ns, bTC) f32 + g
-    (Nd, bTC) + one-hot constants (double-buffering of the streamed
-    blocks is on top; the 12 MB cap below leaves room for it)."""
+def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
+               aggregator: str = "softmax") -> int:
+    """VMEM bytes of the backward tile — PHYSICAL accounting (r5).
+
+    Two aggregator-aware effects matter:
+      * max/sum/mean never materialize the recomputed messages, so their
+        edge scratch is just dm (E, bTC) in the matmul dtype — no msgs,
+        no hg_all store — which is what lets several flagship shapes run
+        32-wide tiles where softmax needs 16;
+      * every STREAMED block (h5/dh, g, amax for max, et/det) is counted
+        TWICE: Mosaic double-buffers grid-varying blocks.  The r4 formula
+        omitted this (plus amax and the et/det blocks entirely), which
+        let wide tiles through that really cost 22.7-23.5 MB against the
+        16 MB scoped limit.
+
+    Calibration points (real Mosaic numbers, B=256 LDPC shapes):
+      REJECT f2v C=128 bt=32 max  -> est 17.6 MB, real 22.71 MB (OOM)
+      REJECT f2v C=64  bt=64 max  -> est 19.9 MB, real 23.49 MB (OOM)
+      ACCEPT f2v C=64  bt=32 smax -> est 13.7 MB, ran in r4
+      ACCEPT v2f C=64  bt=32 max  -> est 11.7 MB, runs (r5 promotion)
+    """
     bTC = bt * C
-    hg = 2 * T * E * bTC if _store_hg(bt, C, T, E) else 0
-    # h5/dh blocks ride the bf16 matmul dtype (2 bytes)
-    return (hg + 4 * 2 * E * bTC + 2 * 2 * T * Ns * bTC
-            + 4 * Nd * bTC + 4 * 2 * E * _round_up(Ns, _LANE))
+    streamed = (2 * 2 * T * Ns * bTC                       # h5 + dh, bf16
+                + 4 * Nd * bTC                             # g, f32
+                + (4 * Nd * bTC if aggregator == "max" else 0)  # amax, i32
+                + 2 * 4 * T * bt * E)                      # et + det, f32
+    if aggregator == "softmax":
+        hg = 2 * T * E * bTC if _store_hg(bt, C, T, E) else 0
+        scratch = hg + (4 + 4) * E * bTC                   # msgs + dm, f32
+    else:
+        scratch = 2 * E * bTC                              # dm, mm dtype
+    return 2 * streamed + scratch + 4 * 2 * E * _round_up(Ns, _LANE)
 
 
-# The scoped-VMEM limit is 16 MB and the MEASURED kernel footprint runs
-# ~1.7x the byte estimates above (block double-buffering, layout padding,
-# VREG spill): a 9 MB estimate cap lands at ~15.5 MB real.  Calibrated
-# against an observed 20.24 MB OOM at an 11.7 MB estimate.
+# The scoped-VMEM limit is 16 MB.  The FORWARD estimate below counts
+# streamed blocks once and the MEASURED footprint runs ~1.7x it (block
+# double-buffering, layout padding, VREG spill): a 9 MB estimate cap
+# lands at ~15.5 MB real (calibrated against an observed 20.24 MB OOM at
+# an 11.7 MB estimate).  The BACKWARD estimate (physical accounting with
+# explicit double-buffer terms, see _bwd_bytes) runs ~1.2-1.3x real, so
+# its cap is 14 MB -> <=16 MB real; both caps are pinned by the concrete
+# accept/reject calibration points listed on _bwd_bytes.
 _VMEM_EST_CAP = 9 << 20
+_BWD_EST_CAP = 14 << 20
 
 
-def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int) -> int:
+def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int,
+                aggregator: str = "softmax") -> int:
     """Largest batch tile whose backward working set stays inside VMEM.
 
     TPU block rules additionally need bT >= 8 and bT*C lane-aligned;
-    callers treat a return of 1 as unsupported."""
+    callers treat a return of 1 as unsupported.  64-wide tiles were
+    tried (r5) and REJECTED by Mosaic: the double-buffered streamed
+    blocks put the real footprint at 23.49 MB vs the 16 MB scoped limit
+    even with the lean max-aggregation scratch."""
     for bt in (32, 16, 8):
         if (B % bt == 0 and bt * C <= 4096 and bt * C % _LANE == 0
-                and _bwd_bytes(bt, C, T, E, Ns, Nd) <= _VMEM_EST_CAP):
+                and _bwd_bytes(bt, C, T, E, Ns, Nd, aggregator)
+                <= _BWD_EST_CAP):
             return bt
     return 1
 
@@ -126,7 +172,7 @@ def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
     if K > 16 or T > 16 or n_eff > 1024 or B < 1:
         return False
     E = Nd * K
-    return _batch_tile(B, nout, T, E, n_eff, Nd) >= 8
+    return _batch_tile(B, nout, T, E, n_eff, Nd, aggregator) >= 8
 
 
 # ---------------------------------------------------------------------------
@@ -238,16 +284,19 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, amax_ref,
 
     g = g_ref[...].astype(jnp.float32)  # (Nd, bT*C)
 
-    # ---- aggregation cotangent dm (E, bT*C)
+    # ---- aggregation cotangent dm (E, bT*C).  For max/sum/mean dm rides
+    # the matmul dtype (the dots round it anyway; halving its bytes is
+    # what buys the wider tile); softmax keeps f32.
     if aggregator == "max":
         am = amax_ref[...]
         for k in range(K):
-            dm[k * Nd:(k + 1) * Nd] = jnp.where(am == k, g, 0.0)
+            dm[k * Nd:(k + 1) * Nd] = jnp.where(am == k, g, 0.0).astype(
+                dm.dtype)
     elif aggregator == "sum":
         for k in range(K):
-            dm[k * Nd:(k + 1) * Nd] = g
+            dm[k * Nd:(k + 1) * Nd] = g.astype(dm.dtype)
     elif aggregator == "mean":
-        gs = g * (1.0 / K)
+        gs = (g * (1.0 / K)).astype(dm.dtype)
         for k in range(K):
             dm[k * Nd:(k + 1) * Nd] = gs
     else:  # softmax
@@ -355,9 +404,14 @@ def _fused_bwd_impl(h5, et3, oh, oht, amax, nout, aggregator, gamma,
             jax.ShapeDtypeStruct((T, et3.shape[1], E), et3.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T * E if store_hg else 8, bT * C), mm_dtype),
-            pltpu.VMEM((E, bT * C), jnp.float32),
-            pltpu.VMEM((E, bT * C), jnp.float32),
+            pltpu.VMEM((T * E if (aggregator == "softmax" and store_hg)
+                        else 8, bT * C), mm_dtype),
+            # msgs is only consumed by the softmax backward; max/sum/mean
+            # get a stub so the freed VMEM buys the wider tile
+            pltpu.VMEM((E if aggregator == "softmax" else 8, bT * C),
+                       jnp.float32),
+            pltpu.VMEM((E, bT * C),
+                       jnp.float32 if aggregator == "softmax" else mm_dtype),
         ],
         interpret=_interpret(),
     )(g, oh, oht, h5, et3, amax)
@@ -430,9 +484,16 @@ def fused_typed_mp(
     T = etype.shape[-1]
     C = nout
     n_eff = N if extension == "none" else 2 * N
-    bT = _batch_tile(B, C, T, Nd * K, n_eff, Nd)
+    bT = _batch_tile(B, C, T, Nd * K, n_eff, Nd, aggregator)
+    # forward and backward tiles are independent pallas_calls over the
+    # same (Nd, B*C) block grid; each picks its own largest-fitting tile
+    # (the r5 aggregator-aware backward can now be WIDER than the forward)
     bTf = _fwd_tile(B, C, T, Nd * K, n_eff, Nd)
-    bTf = max(bTf, bT)
+    if bTf < 8:
+        bTf = bT
+    mm_dtype_name = ("float32" if (precision == "float32" or _interpret())
+                     else "bfloat16")
+    mm = jnp.dtype(mm_dtype_name)
 
     # layout transforms (all tiny; they stay inside the autodiff graph so
     # their transposes are differentiated by XLA, outside the custom VJP)
@@ -441,10 +502,15 @@ def fused_typed_mp(
         return jnp.transpose(w.reshape(Cin, C, T), (0, 2, 1)).reshape(
             Cin, T * C)
 
+    # h is CONVERTED to the matmul dtype BEFORE the (B,N,T,C)->(T,N,B,C)
+    # layout pass: the kernel rounds its operands to mm anyway, and the
+    # transpose is one of the largest data movements in the step (12.6 MB
+    # bf16 vs 25 MB f32 per conv at the flagship config) — profiled r5:
+    # ~2.3 ms/step of the 9.4 ms B=256 step was layout copies.
     if extension == "none":
         h = jnp.matmul(x.astype(jnp.float32),
                        tmajor(filters).astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(mm)
     else:
         w_self = filters[:Cin]
         w_nbr = filters[Cin:]
@@ -459,14 +525,10 @@ def fused_typed_mp(
                         preferred_element_type=jnp.float32)
         hb = jnp.matmul(xf, tmajor(w_nbr).astype(jnp.float32),
                         preferred_element_type=jnp.float32)
-        h = jnp.concatenate([ha, sign * hb], axis=1)       # (B, 2N, TC)
-    mm_dtype_name = ("float32" if (precision == "float32" or _interpret())
-                     else "bfloat16")
-    # h5 is stored in the matmul dtype: the kernel rounds its operands to
-    # it anyway, so this halves the streamed block bytes at no numeric
-    # cost relative to the f32-storage variant.
+        h = jnp.concatenate([ha.astype(mm), (sign * hb).astype(mm)],
+                            axis=1)                        # (B, 2N, TC)
     h5 = jnp.transpose(h.reshape(B, n_eff, T, C), (2, 1, 0, 3)).reshape(
-        T, n_eff, B * C).astype(jnp.dtype(mm_dtype_name))
+        T, n_eff, B * C)
     # k-major edge rows (k*Nd + d), batch second (block-rule compliant)
     et3 = jnp.transpose(etype.astype(jnp.float32), (3, 0, 2, 1)).reshape(
         T, B, K * Nd)
@@ -481,8 +543,10 @@ def fused_typed_mp(
         dst_cols = np.tile(np.arange(Nd), K)               # row k*Nd + d
         oh_np[np.arange(K * Nd), dst_cols] = 1.0           # self term
         oh_np[np.arange(K * Nd), N + src_cols] += 1.0      # neighbor term
-    oh = jnp.asarray(oh_np)
-    oht = jnp.asarray(oh_np.T.copy())
+    # one-hot operators ride the matmul dtype (0/1/2 are exact in bf16):
+    # halves their VMEM residency and skips the in-kernel convert
+    oh = jnp.asarray(oh_np.astype(mm))
+    oht = jnp.asarray(oh_np.T.copy().astype(mm))
 
     out2 = _fused(h5, et3, oh, oht, nout, aggregator,
                   float(gamma), mm_dtype_name, Nd, K, bT, bTf)  # (Nd, B*C)

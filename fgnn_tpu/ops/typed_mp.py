@@ -48,6 +48,57 @@ def _use_fused() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _spmd_fused_call(x, nn_idx, etype, filters, nout, *, extension_name,
+                     aggregator, gamma, bias, precision):
+    """Fused kernel under a registered training mesh: shard_map over batch.
+
+    The kernel is embarrassingly parallel over the batch (shared trace-time
+    tables, per-sample etype), so for a dp-sharded batch it runs unchanged
+    per shard; the small filter banks and bias replicate (TP-sharded
+    filters are all-gathered once — cheap next to keeping the 190M-class
+    kernel instead of the XLA fallback).  Unmentioned mesh axes (``model``)
+    stay replicated, so dp x tp meshes work with the conv compute
+    replicated along tp.
+
+    Returns the conv output, or None when no mesh is registered / the
+    per-shard batch does not support the kernel (caller falls through to
+    the XLA path, which partitions via ordinary pjit propagation).
+    """
+    from ..parallel.mesh import spmd_mesh
+
+    mesh, axis = spmd_mesh()
+    if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
+        return None
+    dp = mesh.shape[axis]
+    B = x.shape[0]
+    if B % dp != 0:
+        return None
+    from .fused_mp import fused_supported, fused_typed_mp
+
+    if not fused_supported((B // dp,) + tuple(x.shape[1:]),
+                           jnp.shape(nn_idx),
+                           (B // dp,) + tuple(etype.shape[1:]),
+                           aggregator, extension_name=extension_name,
+                           nout=nout):
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    args = [x, etype, filters]
+    specs = [P(axis), P(axis), P()]
+    if bias is not None:
+        args.append(bias)
+        specs.append(P())
+
+    def local(xs, es, fs, *rest):
+        return fused_typed_mp(
+            xs, nn_idx, es, fs, nout, extension=extension_name,
+            aggregator=aggregator, gamma=gamma,
+            bias=rest[0] if rest else None, precision=precision)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=tuple(specs),
+                         out_specs=P(axis), check_vma=False)(*args)
+
+
 class Extension(enum.Enum):
     """Edge-input construction variants (mp_nn.py:7-10)."""
 
@@ -366,15 +417,19 @@ def typed_mp_conv(
         if idx_np is not None and _use_fused():
             from .fused_mp import fused_supported, fused_typed_mp
 
+            fprec = ("float32" if precision == jax.lax.Precision.HIGHEST
+                     or _GATHER_PRECISION is not None else None)
+            spmd_out = _spmd_fused_call(
+                x, nn_idx, etype, filters, nout, extension_name="none",
+                aggregator=aggregator, gamma=gamma, bias=bias,
+                precision=fprec)
+            if spmd_out is not None:
+                return spmd_out
             if fused_supported(x.shape, jnp.shape(nn_idx), etype.shape,
                                aggregator, nout=nout):
                 return fused_typed_mp(
                     x, nn_idx, etype, filters, nout, aggregator=aggregator,
-                    gamma=gamma, bias=bias,
-                    precision=("float32"
-                               if precision == jax.lax.Precision.HIGHEST
-                               or _GATHER_PRECISION is not None
-                               else None))
+                    gamma=gamma, bias=bias, precision=fprec)
 
         # Transform at the source (N_src rows), then gather the (nout*T)-dim
         # rows — cheaper than per-edge matmuls whenever K > 1, and the same
@@ -436,16 +491,21 @@ def typed_mp_conv(
                 and _concrete_idx(nn_idx) is not None:
             from .fused_mp import fused_supported, fused_typed_mp
 
+            fprec = ("float32" if precision == jax.lax.Precision.HIGHEST
+                     or _GATHER_PRECISION is not None else None)
+            spmd_out = _spmd_fused_call(
+                x, nn_idx, etype, filters, nout, extension_name=ext_name,
+                aggregator=aggregator, gamma=gamma, bias=bias,
+                precision=fprec)
+            if spmd_out is not None:
+                return spmd_out
             if fused_supported(x.shape, jnp.shape(nn_idx), etype.shape,
                                aggregator, extension_name=ext_name,
                                nout=nout):
                 return fused_typed_mp(
                     x, nn_idx, etype, filters, nout, extension=ext_name,
                     aggregator=aggregator, gamma=gamma, bias=bias,
-                    precision=("float32"
-                               if precision == jax.lax.Precision.HIGHEST
-                               or _GATHER_PRECISION is not None
-                               else None))
+                    precision=fprec)
         if (_mp_impl() == "mixmat" and _mixmat_supported(x, nn_idx, etype)
                 and nn_idx.shape[0] == x.shape[1]):
             return _mixmat_conv(

@@ -62,3 +62,34 @@ def local_mesh(n: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()[: n or len(jax.devices())]
     dp = len(devices) // model_parallel
     return make_mesh((dp, model_parallel), devices=devices)
+
+
+# --------------------------------------------------------------------------
+# Active-mesh registry: the SPMD hook for single-device-oriented kernels.
+#
+# The fused Pallas conv (ops/fused_mp.py) is a custom call with no
+# partitioning rule of its own; under a >1-device pjit XLA would reshard
+# its operands to replicated around it.  Instead, the trainers register
+# their mesh here and the typed-conv dispatcher wraps the kernel in
+# ``jax.shard_map`` over the data axis (the kernel is embarrassingly
+# parallel over the batch; the small filter banks replicate).  This is what
+# lets the flagship kernel and mesh training COMPOSE instead of the
+# round-4 behavior of pinning the slow XLA path for every multi-device run.
+# --------------------------------------------------------------------------
+
+_SPMD_STATE = {"mesh": None, "axis": "data"}
+
+
+def set_spmd_mesh(mesh: Optional[Mesh], data_axis: str = "data") -> None:
+    """Register (or clear, with None) the active training mesh.
+
+    Called by ``prepare_mesh_training``; consulted by
+    ``fgnn_tpu.ops.typed_mp`` to shard_map the fused kernel over the batch.
+    """
+    _SPMD_STATE["mesh"] = mesh
+    _SPMD_STATE["axis"] = data_axis
+
+
+def spmd_mesh():
+    """(mesh, data_axis) of the registered training mesh, or (None, axis)."""
+    return _SPMD_STATE["mesh"], _SPMD_STATE["axis"]

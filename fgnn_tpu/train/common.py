@@ -153,18 +153,18 @@ def prepare_mesh_training(mesh_spec: str, state: TrainState,
     Returns (mesh, sharded_state, put).
     """
     from ..parallel import make_mesh, parse_mesh_spec, shard_batch, shard_state
+    from ..parallel.mesh import set_spmd_mesh
 
     dp, tp = parse_mesh_spec(mesh_spec)
     mesh = make_mesh((dp, tp), devices=devices)
-    if dp * tp > 1 and "FGNN_FUSED" not in os.environ:
-        # The fused Pallas conv kernel carries no SPMD partitioning rule:
-        # under a >1-device pjit, XLA would reshard its operands to
-        # replicated around every custom call (correct but defeating the
-        # sharding).  Default to the XLA conv path for mesh training —
-        # it partitions cleanly; FGNN_FUSED=1 overrides.
-        os.environ["FGNN_FUSED"] = "0"
-        logging.info("mesh training: fused conv kernel disabled "
-                     "(no SPMD rule); set FGNN_FUSED=1 to override")
+    if dp * tp > 1:
+        # Register the mesh so the typed-conv dispatcher wraps the fused
+        # Pallas kernel in shard_map over the data axis (the kernel has no
+        # partitioning rule of its own, so bare pjit would reshard its
+        # operands to replicated around every custom call).  Mesh training
+        # therefore keeps the flagship kernel — the round-4 behavior of
+        # pinning FGNN_FUSED=0 here is gone.
+        set_spmd_mesh(mesh, "data")
     if batch_size % dp != 0:
         raise ValueError(
             f"batch size {batch_size} must divide the data axis ({dp}) "

@@ -71,17 +71,40 @@ def _static_tables():
     return _STATIC_TABLES
 
 
+_TABLES_VALIDATED = None  # verdict of the last CONCRETE value check
+
+
 def _model_inputs(batch: dict) -> dict:
     # The 96.3.963 incidence tables are the same for every sample; pass
     # them SHARED (2D) and as TRACE-TIME CONSTANTS (numpy, not a slice of
     # the traced batch) so the gather has no batch dim and the fused
     # Pallas kernel can engage (ops/fused_mp.py builds its one-hot
     # operator from the concrete table at trace time).
+    #
+    # Substitution is gated on VALUE equality, not just shape: a custom
+    # parity-check matrix with the standard (96,3)/(48,6) shapes must NOT
+    # silently train on the default graph.  Values are checked when the
+    # batch is concrete (create_state always sees one); traced calls
+    # (inside the jitted step, where the tables are tracers) reuse the
+    # last concrete verdict and fall back to the in-batch tables when no
+    # concrete batch has validated yet.
+    global _TABLES_VALIDATED
     nn_f2v = batch["nn_idx_f2v"]
     nn_v2f = batch["nn_idx_v2f"]
     st_f2v, st_v2f = _static_tables()
+    use_static = False
     if tuple(nn_f2v.shape[-2:]) == st_f2v.shape and \
             tuple(nn_v2f.shape[-2:]) == st_v2f.shape:
+        try:
+            cf, cv = np.asarray(nn_f2v), np.asarray(nn_v2f)
+        except Exception:  # tracer — reuse the last concrete verdict
+            use_static = bool(_TABLES_VALIDATED)
+        else:
+            _TABLES_VALIDATED = bool(
+                np.array_equal(cf, np.broadcast_to(st_f2v, cf.shape))
+                and np.array_equal(cv, np.broadcast_to(st_v2f, cv.shape)))
+            use_static = _TABLES_VALIDATED
+    if use_static:
         nn_f2v, nn_v2f = st_f2v, st_v2f
     elif hasattr(nn_f2v, "ndim") and nn_f2v.ndim == 3:
         nn_f2v = nn_f2v[0]

@@ -329,6 +329,11 @@ def train_and_eval(workload: str, args):
 
         test_npz = NpzRPGMData(test_path, size=args.test_size)
         eval_batches = min(eval_batches, len(test_npz) // args.batch_size)
+        if eval_batches < 1:
+            raise ValueError(
+                f"test set {test_path!r} has {len(test_npz)} samples, "
+                f"fewer than one batch of {args.batch_size} — lower "
+                "--batch-size or use a larger test shard")
         eval_source = test_npz.batches(args.batch_size, shuffle=False)
         eval_source = (b for _, b in zip(range(eval_batches), eval_source))
     else:

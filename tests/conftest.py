@@ -33,3 +33,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_spmd_mesh():
+    """prepare_mesh_training registers a process-global mesh (the fused
+    kernel's shard_map hook); don't let it leak across tests."""
+    yield
+    from fgnn_tpu.parallel.mesh import set_spmd_mesh
+
+    set_spmd_mesh(None)

@@ -134,28 +134,59 @@ def test_extension_forward_and_grads(rng, ext, agg):
 
 
 def test_large_T_recompute_backward(rng):
-    """T=16 (synthetic-model edge types) drives the hg-recompute backward
-    variant; parity incl. grads."""
+    """A large T*E softmax conv drives the NO-STORE backward variant (each
+    hg_t recomputed in the gradient loop instead of kept in VMEM); parity
+    incl. grads.  Softmax is the aggregator whose backward consumes the
+    recomputed messages (max/sum/mean never store hg at all)."""
     from fgnn_tpu.ops.fused_mp import _batch_tile, _store_hg
 
-    B, N, Cin, Nd, K, T, C = 4, 32, 8, 32, 4, 16, 16
-    assert not _store_hg(_batch_tile(B, C, T, Nd * K, N, Nd) or 8, C, T,
-                         Nd * K) or True  # document intent; sizes vary
+    B, N, Cin, Nd, K, T, C = 8, 64, 8, 72, 4, 16, 64
+    bt = _batch_tile(B, C, T, Nd * K, N, Nd)
+    assert bt == 8, bt  # the tile the dispatcher picks for these sizes
+    assert _store_hg(bt, C, T, Nd * K) is False  # no-store branch engaged
     x = jnp.asarray(rng.randn(B, N, Cin), jnp.float32)
     nn = jnp.asarray(rng.randint(0, N, (Nd, K)), jnp.int32)
     et = jnp.asarray(rng.randn(B, Nd, K, T), jnp.float32)
     w = jnp.asarray(rng.randn(Cin, C * T) * 0.1, jnp.float32)
 
     ref = typed_mp_conv(x, nn, et, w, C, extension=Extension.NO_EXTENSION,
-                        aggregator="max")
-    got = fused_typed_mp(x, nn, et, w, C, aggregator="max",
+                        aggregator="softmax")
+    got = fused_typed_mp(x, nn, et, w, C, aggregator="softmax",
                          precision="float32")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
     gr = jax.grad(lambda et: jnp.sum(jnp.sin(typed_mp_conv(
         x, nn, et, w, C, extension=Extension.NO_EXTENSION,
-        aggregator="max"))))(et)
+        aggregator="softmax"))))(et)
     gf = jax.grad(lambda et: jnp.sum(jnp.sin(fused_typed_mp(
-        x, nn, et, w, C, aggregator="max", precision="float32"))))(et)
+        x, nn, et, w, C, aggregator="softmax", precision="float32"))))(et)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_max_tie_gradient_semantics(rng):
+    """On EXACT ties in max aggregation the fused backward routes the whole
+    cotangent to the first-winning slot (k-order first-win argmax), while
+    the XLA path (jnp.max VJP) splits it evenly among tied slots.  Both are
+    valid subgradients; this test documents the divergence (measure-zero
+    with continuous features) so cross-path parity debugging isn't
+    confusing.  See ops/fused_mp.py `_fwd_kernel`."""
+    B, N, Cin, Nd, K, T, C = 8, 16, 4, 16, 3, 2, 16
+    x = jnp.asarray(np.ones((B, N, Cin)), jnp.float32)
+    # identical source rows + identical etype -> every k slot ties exactly
+    nn = jnp.asarray(np.zeros((Nd, K)), jnp.int32)
+    et = jnp.asarray(np.ones((B, Nd, K, T)), jnp.float32)
+    w = jnp.asarray(rng.randn(Cin, C * T) * 0.1, jnp.float32)
+
+    g_fused = jax.grad(lambda et: jnp.sum(fused_typed_mp(
+        x, nn, et, w, C, aggregator="max", precision="float32")))(et)
+    g_xla = jax.grad(lambda et: jnp.sum(typed_mp_conv(
+        x, nn, et, w, C, extension=Extension.NO_EXTENSION,
+        aggregator="max")))(et)
+    gf, gx = np.asarray(g_fused), np.asarray(g_xla)
+    # fused: all mass on k=0; XLA: split across the K tied slots
+    assert np.allclose(gf[:, :, 1:], 0.0)
+    np.testing.assert_allclose(gf[:, :, 0], gx.sum(axis=2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(gx[:, :, 0], gx[:, :, 1], rtol=1e-5,
+                               atol=1e-6)

@@ -114,6 +114,67 @@ def test_mesh_gradients_match_single_device(need8):
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
 
+def test_mesh_fused_kernel_trajectory(need8, monkeypatch):
+    """THE round-5 composition check: mesh training with the fused Pallas
+    kernel ENABLED (FGNN_FUSED=1, interpret mode on CPU) reproduces the
+    single-device fused trajectory.  The dispatcher must route every
+    supported conv through the shard_map-wrapped kernel
+    (ops/typed_mp.py:_spmd_fused_call) — per-shard batch 8 = the kernel's
+    minimum tile — instead of the round-4 behavior of pinning the XLA
+    path under any >1-device mesh."""
+    monkeypatch.setenv("FGNN_FUSED", "1")
+    ds = ContinuousCodesSP(length=64, seed=0)
+    data = list(ds.batches(32))
+    assert len(data) == 2
+
+    def run(mesh_spec=None):
+        model = LDPCModel(dim_mapping_list=(16, 16, 32, 16), skip_link={})
+        state, tx = create_state(model, data[0], seed=0)
+        step = make_train_step(model, tx)
+        put = lambda b: b  # noqa: E731
+        if mesh_spec:
+            _, state, put = prepare_mesh_training(mesh_spec, state, 32)
+        losses = []
+        for b in data:
+            state, m = step(state, put(b))
+            losses.append(float(m["loss"]))
+        return losses
+
+    losses_1d = run()
+    from fgnn_tpu.parallel.mesh import set_spmd_mesh
+
+    set_spmd_mesh(None)  # fresh registration below
+    losses_mesh = run(mesh_spec="4x2")
+    np.testing.assert_allclose(losses_mesh, losses_1d, rtol=1e-4, atol=1e-6)
+
+
+def test_spmd_fused_dispatch_engages(need8, monkeypatch):
+    """The shard_map wrapper is actually ENTERED under a registered mesh
+    (not silently skipped): instrument _spmd_fused_call and count."""
+    import fgnn_tpu.ops.typed_mp as tm
+
+    monkeypatch.setenv("FGNN_FUSED", "1")
+    calls = {"n": 0}
+    orig = tm._spmd_fused_call
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        if out is not None:
+            calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(tm, "_spmd_fused_call", spy)
+    ds = ContinuousCodesSP(length=32, seed=0)
+    data = list(ds.batches(32))
+    model = LDPCModel(dim_mapping_list=(16, 16, 32, 16), skip_link={})
+    state, tx = create_state(model, data[0], seed=0)
+    step = make_train_step(model, tx)
+    _, state, put = prepare_mesh_training("4x2", state, 32)
+    state, m = step(state, put(data[0]))
+    assert np.isfinite(float(m["loss"]))
+    assert calls["n"] > 0, "no conv routed through the SPMD fused kernel"
+
+
 def test_mesh_pure_dp_8x1(need8):
     ds = ContinuousCodesSP(length=16, seed=1)
     data = list(ds.batches(8))

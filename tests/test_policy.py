@@ -66,15 +66,16 @@ def test_fused_kernel_under_bf16_policy(rng, monkeypatch):
                for l in jax.tree.leaves(g))
 
 
-def test_mesh_training_pins_xla_conv_path(monkeypatch, rng):
-    """prepare_mesh_training must default the fused kernel off (the
-    Pallas custom call has no SPMD rule) while honoring an explicit
-    override."""
+def test_mesh_training_registers_spmd_mesh(monkeypatch, rng):
+    """prepare_mesh_training registers the mesh for the fused kernel's
+    shard_map hook (r5 SPMD rule) and leaves FGNN_FUSED alone — the
+    round-4 behavior of pinning the XLA path under a mesh is gone."""
     import os
 
     import jax
     import jax.numpy as jnp
 
+    from fgnn_tpu.parallel.mesh import set_spmd_mesh, spmd_mesh
     from fgnn_tpu.train.common import TrainState, make_optimizer, \
         prepare_mesh_training
 
@@ -84,9 +85,9 @@ def test_mesh_training_pins_xla_conv_path(monkeypatch, rng):
                        opt_state=tx.init(params),
                        gcnt=jnp.asarray(0, jnp.int32))
     monkeypatch.delenv("FGNN_FUSED", raising=False)
-    prepare_mesh_training("4x2", state, 8, devices=jax.devices("cpu")[:8])
-    assert os.environ.get("FGNN_FUSED") == "0"
-
-    monkeypatch.setenv("FGNN_FUSED", "1")
-    prepare_mesh_training("4x2", state, 8, devices=jax.devices("cpu")[:8])
-    assert os.environ.get("FGNN_FUSED") == "1"
+    set_spmd_mesh(None)
+    mesh, _, _ = prepare_mesh_training(
+        "4x2", state, 8, devices=jax.devices("cpu")[:8])
+    assert os.environ.get("FGNN_FUSED") is None
+    reg, axis = spmd_mesh()
+    assert reg is mesh and axis == "data"
