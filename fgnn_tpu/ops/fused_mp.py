@@ -93,16 +93,19 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
         let wide tiles through that really cost 22.7-23.5 MB against the
         16 MB scoped limit.
 
-    Calibration points (real Mosaic numbers, B=256 LDPC shapes):
-      REJECT f2v C=128 bt=32 max  -> est 17.6 MB, real 22.71 MB (OOM)
-      REJECT f2v C=64  bt=64 max  -> est 19.9 MB, real 23.49 MB (OOM)
-      ACCEPT f2v C=64  bt=32 smax -> est 13.7 MB, ran in r4
-      ACCEPT v2f C=64  bt=32 max  -> est 11.7 MB, runs (r5 promotion)
+    Calibration points (real Mosaic outcomes, B=256 LDPC shapes, with
+    the r5 stream dtypes g=mm/amax=bf16):
+      REJECT f2v C=128 bt=32 max  -> est 12.1 MB, compiler rejects
+      REJECT f2v C=64  bt=64 max  -> est ~17 MB, real 23.49 MB (OOM)
+      ACCEPT f2v C=64  bt=32 smax -> est  9.8 MB, ran in r4
+      ACCEPT v2f C=64  bt=32 max  -> est  8.5 MB, compiles + runs (r5)
+      ACCEPT f2v C=64  bt=32 max  -> est  6.1 MB, compiles + runs (r5)
     """
     bTC = bt * C
+    g_b = 4 if aggregator == "softmax" else 2              # g: f32 / mm
     streamed = (2 * 2 * T * Ns * bTC                       # h5 + dh, bf16
-                + 4 * Nd * bTC                             # g, f32
-                + (4 * Nd * bTC if aggregator == "max" else 0)  # amax, i32
+                + g_b * Nd * bTC
+                + (2 * Nd * bTC if aggregator == "max" else 0)  # amax, bf16
                 + 2 * 4 * T * bt * E)                      # et + det, f32
     if aggregator == "softmax":
         hg = 2 * T * E * bTC if _store_hg(bt, C, T, E) else 0
@@ -121,7 +124,7 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
 # its cap is 14 MB -> <=16 MB real; both caps are pinned by the concrete
 # accept/reject calibration points listed on _bwd_bytes.
 _VMEM_EST_CAP = 9 << 20
-_BWD_EST_CAP = 14 << 20
+_BWD_EST_CAP = 12 << 20
 
 
 def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int,
@@ -222,7 +225,10 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, amax_ref, msgs,
 
     if aggregator == "max":
         # first-win argmax: the backward reuses it instead of recomputing
-        # the whole message tensor
+        # the whole message tensor.  Stored bfloat16 (K <= 16 is exact):
+        # half the i32 stream the r4 kernel shipped to HBM and back.
+        # int8 (a quarter) was tried and CRASHES the Mosaic compiler at
+        # these block shapes (tpu_compile_helper exit 1, r5).
         acc = msgs[0:Nd]
         am = jnp.zeros_like(acc, dtype=jnp.int32)
         for k in range(1, K):
@@ -230,7 +236,7 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, amax_ref, msgs,
             take = blk > acc
             acc = jnp.where(take, blk, acc)
             am = jnp.where(take, k, am)
-        amax_ref[...] = am
+        amax_ref[...] = am.astype(amax_ref.dtype)
     elif aggregator in ("sum", "mean"):
         acc = msgs[0:Nd]
         for k in range(1, K):
@@ -282,16 +288,20 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, amax_ref,
             else:
                 msgs[...] += term
 
+    # g arrives in the matmul dtype for max/sum/mean (the dots round dm to
+    # it anyway; halving the stream is free) and f32 for softmax
     g = g_ref[...].astype(jnp.float32)  # (Nd, bT*C)
 
     # ---- aggregation cotangent dm (E, bT*C).  For max/sum/mean dm rides
     # the matmul dtype (the dots round it anyway; halving its bytes is
     # what buys the wider tile); softmax keeps f32.
     if aggregator == "max":
-        am = amax_ref[...]
+        # amax streams bf16 (exact for K <= 16); upcast before comparing —
+        # a bf16 equality predicate crashes the Mosaic compiler (r5)
+        am = amax_ref[...].astype(jnp.float32)
         for k in range(K):
-            dm[k * Nd:(k + 1) * Nd] = jnp.where(am == k, g, 0.0).astype(
-                dm.dtype)
+            dm[k * Nd:(k + 1) * Nd] = jnp.where(am == float(k), g,
+                                                0.0).astype(dm.dtype)
     elif aggregator == "sum":
         for k in range(K):
             dm[k * Nd:(k + 1) * Nd] = g.astype(dm.dtype)
@@ -365,7 +375,7 @@ def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Nd, BC), jnp.float32),
-            jax.ShapeDtypeStruct((Nd, BC), jnp.int32),
+            jax.ShapeDtypeStruct((Nd, BC), jnp.bfloat16),  # argmax, K <= 16
         ],
         scratch_shapes=[pltpu.VMEM((E, bT * C), jnp.float32)],
         interpret=_interpret(),
@@ -437,6 +447,11 @@ def _fused_fwd(h5, et3, oh, oht, nout, aggregator, gamma,
 def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, bT, bTf,
                res, g):
     h5, et3, oh, oht, amax = res
+    if aggregator != "softmax":
+        # the backward rounds dm to the matmul dtype anyway — casting the
+        # cotangent OUTSIDE the kernel fuses into its producer transpose
+        # and halves the g stream
+        g = g.astype(jnp.dtype(mm_dtype_name))
     dh5, det3 = _fused_bwd_impl(h5, et3, oh, oht, amax, nout,
                                 aggregator, gamma, mm_dtype_name, Nd, K,
                                 bT, bTf, g)

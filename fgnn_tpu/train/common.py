@@ -57,11 +57,16 @@ def make_optimizer(base_lr: float, weight_decay: float = 0.0,
                    clip_norm: Optional[float] = None):
     """Adam with torch-style L2 decay and a settable LR (per-epoch).
 
-    The whole transform is wrapped in ``optax.flatten``: the models here
-    have ~400 small parameter leaves, and a per-leaf Adam unrolls into
-    >1000 latency-bound HLO ops per step.  Flattening runs the update as
-    a handful of ops over one contiguous vector (the math is identical —
-    Adam is elementwise and the global-norm clip is over all leaves).
+    Default is PER-LEAF Adam (the plain optax chain).  The r2-r4 builds
+    wrapped the transform in ``optax.flatten``, on the theory that ~400
+    small parameter leaves unroll into latency-bound HLO; re-measured in
+    r5 on the real chip, the flatten machinery is the SLOWER side: its
+    two tree->vector concatenates plus the per-leaf DMA copies feeding
+    them cost ~1.1 ms of the 9.4 ms B=256 LDPC step (profiled: 858
+    f32[64]-class copy-dones/step), while the per-leaf update's small
+    fusions schedule at ~0.15 ms.  Net: 9.42 -> 8.48 ms/step.
+    FGNN_OPT_FLATTEN=1 restores the flattened form (needed to resume
+    r2-r4 checkpoints, whose opt_state is the flat layout).
     """
     parts = []
     if clip_norm is not None:
@@ -69,7 +74,10 @@ def make_optimizer(base_lr: float, weight_decay: float = 0.0,
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.inject_hyperparams(optax.adam)(learning_rate=base_lr))
-    return optax.flatten(optax.chain(*parts))
+    tx = optax.chain(*parts)
+    if os.environ.get("FGNN_OPT_FLATTEN", "0") == "1":
+        tx = optax.flatten(tx)
+    return tx
 
 
 def set_lr(opt_state, lr: float):
@@ -79,10 +87,18 @@ def set_lr(opt_state, lr: float):
     return opt_state
 
 
-# Bump when the on-disk layout changes incompatibly.  v2: opt_state is the
-# optax.flatten form (one contiguous vector per Adam buffer) — v1 (per-leaf
-# Adam) checkpoints cannot be restored into a v2 skeleton.
+# Bump when the on-disk layout changes incompatibly.  v2 containers carry
+# an ``opt_layout`` tag ("flat" = optax.flatten per r2-r4 default, "tree" =
+# per-leaf Adam, the r5 default); absent means "flat".  Loading requires
+# the running optimizer to match — set FGNN_OPT_FLATTEN accordingly.
 CKPT_FORMAT_VERSION = 2
+
+
+def _opt_layout(state: TrainState) -> str:
+    """'flat' (optax.flatten: few vector leaves) vs 'tree' (per-leaf)."""
+    n_params = len(jax.tree.leaves(state.params))
+    n_opt = len(jax.tree.leaves(state.opt_state))
+    return "flat" if n_opt < n_params else "tree"
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int,
@@ -90,6 +106,7 @@ def save_checkpoint(path: str, state: TrainState, epoch: int,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "format_version": CKPT_FORMAT_VERSION,
+        "opt_layout": _opt_layout(state),
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
@@ -116,6 +133,16 @@ def load_checkpoint(path: str, state: TrainState):
             f"checkpoint {path} has format version {version}, this build "
             f"reads version {CKPT_FORMAT_VERSION}; re-train, or restore "
             "params only by loading the pickle manually.")
+    stored_layout = payload.get("opt_layout", "flat")
+    current_layout = _opt_layout(state)
+    if stored_layout != current_layout:
+        raise ValueError(
+            f"checkpoint {path} stores a {stored_layout!r}-layout "
+            f"opt_state but the running optimizer is {current_layout!r}; "
+            "set FGNN_OPT_FLATTEN=" + ("1" if stored_layout == "flat"
+                                       else "0")
+            + " to match (r2-r4 checkpoints are 'flat', r5+ default is "
+            "'tree'), or restore params only from the pickle.")
 
     def _restore(template, saved):
         leaves_t, treedef = jax.tree.flatten(template)
