@@ -25,8 +25,22 @@ Projected step time bounds:
   is how halo_typed_mp_coo is written):  max(t_local, t_comm) + t_remote
   pessimistic (zero overlap):            t_local + t_remote + t_comm
 
-Efficiency(D) = t_1dev / (D * t_proj(D)) — strong scaling on the fixed
-scaling-bench graph.  Writes one JSON blob for RESULTS.md.
+Efficiency is PER-SHARD-NORMALIZED (r5; the r4 t_1/(D*t_proj) strong-
+scaling form produced >1 values because the single-device baseline pays
+superlinear segment costs, which says nothing about the fabric):
+
+  efficiency(D) = (t_local + t_remote) / t_proj(D)  in (0, 1] by
+  construction — the fraction of the projected step the device spends on
+  its own shard's compute, i.e. exactly what communication + non-overlap
+  take away.  The raw t_1 / t_proj ratio is still reported as
+  ``speedup_vs_single`` (it may exceed D on this graph because the
+  single-device segment reduction is superlinear in segment count — a
+  property of the baseline, not of scaling).
+
+``--preset ldpc-flagship`` projects the FLAGSHIP workload: the batch-as-
+giant-graph disjoint union of 4096 LDPC code graphs (the f2v conv:
+96-var destinations, 48-check sources, K=3, T=4), block-partitioned so
+whole codes stay on one shard.  Writes one JSON blob for RESULTS.md.
 """
 
 import argparse
@@ -123,6 +137,31 @@ def shard_kernel_time(args, plan, x, et, W):
     return t_local, t_remote
 
 
+def ldpc_flagship_graph(args, rng):
+    """Disjoint union of ``--ldpc-batch`` 96.3.963 code graphs — the
+    flagship f2v conv (96 var destinations x K=3 check sources, T=4) as
+    one giant block-diagonal COO graph.  Codes are contiguous, so block
+    partitioning keeps whole codes on one shard and the halo is tiny —
+    the projection of the flagship's actual large-scale deployment shape
+    (batch-as-giant-graph, SURVEY.md par.7.5)."""
+    from fgnn_tpu.data.ldpc_graph import default_structure
+
+    s = default_structure()
+    vc = np.asarray(s.var_checks, np.int64)            # (96, 3) check ids
+    B = args.ldpc_batch
+    n_var, n_chk, K = 96, 48, vc.shape[1]
+    src = (vc[None, :, :] + np.arange(B)[:, None, None] * n_chk).reshape(-1)
+    dst = np.repeat(np.arange(B * n_var), K)
+    args.nodes = B * n_chk
+    args.dst_nodes = B * n_var
+    args.edges = src.size
+    et = rng.randn(args.edges, args.etypes).astype(np.float32)
+    x = rng.randn(args.nodes, args.cin).astype(np.float32)
+    W = (rng.randn(args.cin, args.cout * args.etypes) * 0.1).astype(
+        np.float32)
+    return x, src, dst, et, W
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=131072)
@@ -134,6 +173,10 @@ def main():
     p.add_argument("--locality", type=int, default=4096)
     p.add_argument("--devices", type=str, default="2,4,8,16")
     p.add_argument("--ici-gbps", type=float, default=V5E_ICI_GBPS)
+    p.add_argument("--preset", choices=["synthetic", "ldpc-flagship"],
+                   default="synthetic")
+    p.add_argument("--ldpc-batch", type=int, default=4096,
+                   help="codes in the ldpc-flagship giant graph")
     p.add_argument("--out", default="benchmarks/ici_projection.json")
     args = p.parse_args()
     if args.dst_nodes is None:
@@ -143,7 +186,10 @@ def main():
     from fgnn_tpu.ops.segment import CooGraph, typed_mp_conv_coo
 
     rng = np.random.RandomState(0)
-    x, src, dst, et, W = make_graph(args, rng)
+    if args.preset == "ldpc-flagship":
+        x, src, dst, et, W = ldpc_flagship_graph(args, rng)
+    else:
+        x, src, dst, et, W = make_graph(args, rng)
 
     # single-device baseline: the plain COO conv over the full graph
     @jax.jit
@@ -162,6 +208,7 @@ def main():
         t_comm = payload / (args.ici_gbps * 1e9)
         t_opt = max(t_local, t_comm) + t_remote
         t_pes = t_local + t_remote + t_comm
+        t_ideal = t_local + t_remote  # this shard's own compute
         rows.append({
             "devices": D,
             "halo_rows": int(plan.halo),
@@ -173,8 +220,14 @@ def main():
             "t_comm_ms": round(t_comm * 1e3, 3),
             "t_step_overlap_ms": round(t_opt * 1e3, 3),
             "t_step_serial_ms": round(t_pes * 1e3, 3),
-            "efficiency_overlap": round(t1 / (D * t_opt), 3),
-            "efficiency_serial": round(t1 / (D * t_pes), 3),
+            # in (0, 1] by construction: share of the projected step spent
+            # on this shard's own compute (1 - what comm/non-overlap cost)
+            "efficiency_overlap": round(t_ideal / t_opt, 3),
+            "efficiency_serial": round(t_ideal / t_pes, 3),
+            # raw ratio vs the measured single-device step; may exceed D
+            # (superlinear single-device segment costs), reported for
+            # transparency, NOT an efficiency
+            "speedup_vs_single": round(t1 / t_opt, 2),
         })
         print(json.dumps(rows[-1]), flush=True)
 
@@ -185,6 +238,17 @@ def main():
         "single_device_ms": round(t1 * 1e3, 3),
         "ici_model": f"{args.ici_gbps} GB/s one-way single link "
                      "(conservative v5e; torus all_to_all has >1 link)",
+        "caveats": [
+            "per-shard local compute is the UNFUSED XLA COO path (the "
+            "fused dense kernel does not cover ragged COO shards), so "
+            "absolute shard times are conservative; efficiencies "
+            "compare comm against that same path",
+            "efficiency_* = (t_local+t_remote)/t_proj in (0,1] by "
+            "construction; speedup_vs_single is the raw ratio against "
+            "the measured single-device step and can exceed D because "
+            "the single-device segment reduction is superlinear in "
+            "segment count",
+        ],
         "rows": rows,
     }
     with open(args.out, "w") as f:

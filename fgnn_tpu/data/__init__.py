@@ -21,6 +21,7 @@ from .rpgm import (
     RandomPGMNoHop,
     RandomPGMPw,
     RandomPGMPwNoHop,
+    BucketedHopData,
     MixedLengthHopData,
     RandomPGMHop,
     batches,
@@ -44,7 +45,7 @@ __all__ = [
     "map_chain_budget", "brute_force_chain_budget",
     "lp_relaxation_chain_budget",
     "RandomPGM", "RandomPGMNoHop", "RandomPGMPw", "RandomPGMPwNoHop",
-    "MixedLengthHopData", "RandomPGMHop", "batches",
+    "BucketedHopData", "MixedLengthHopData", "RandomPGMHop", "batches",
     "chain_knn_table", "pw_factor_table", "high_factor_table",
     "global_factor_table",
     "Prefetcher", "prefetch", "device_prefetch", "PoolBatcher",

@@ -223,3 +223,46 @@ class MixedLengthHopData:
         items = [p.sample() for p in self.parts]
         return {k: np.concatenate([it[k] for it in items])
                 for k in items[0]}
+
+
+class BucketedHopData:
+    """Genuinely heterogeneous chain lengths via BUCKETED batches.
+
+    :class:`MixedLengthHopData` fixes the same length multiset in every
+    batch so ONE compile covers the run; that cannot represent a real
+    heterogeneous dataset where lengths follow a distribution.  This
+    class draws each chain's length i.i.d. from ``(lengths, probs)`` and
+    groups same-length chains into HOMOGENEOUS batches — the standard
+    TPU bucketing discipline: one XLA compile per length bucket
+    (amortized over the whole run), zero padding, and the run-level
+    length distribution matches ``probs`` exactly in expectation.
+
+    ``batches(batch_size, n)`` yields ``n`` stacked (B, L_bucket, ...)
+    batches whose bucket is sampled per batch from ``probs``.
+    """
+
+    def __init__(self, lengths, probs=None, hop_order: int = 9,
+                 ret_efeature_pw: bool = False, seed: Optional[int] = None):
+        self.lengths = tuple(int(x) for x in lengths)
+        assert self.lengths, "need at least one chain length"
+        if probs is None:
+            probs = [1.0 / len(self.lengths)] * len(self.lengths)
+        probs = np.asarray(list(probs), np.float64)
+        assert probs.size == len(self.lengths), (
+            "--length-dist must give one probability per length")
+        self.probs = probs / probs.sum()
+        self.parts = {
+            L: RandomPGMHop(L, hop_order=hop_order,
+                            ret_efeature_pw=ret_efeature_pw,
+                            seed=None if seed is None else seed + 1000 * i)
+            for i, L in enumerate(self.lengths)
+        }
+        self.rng = np.random.RandomState(seed)
+
+    def batches(self, batch_size: int, n: Optional[int] = None):
+        count = 0
+        while n is None or count < n:
+            L = int(self.rng.choice(self.lengths, p=self.probs))
+            items = [self.parts[L].sample() for _ in range(batch_size)]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+            count += 1

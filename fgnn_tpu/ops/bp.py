@@ -76,15 +76,17 @@ def _loo_prod(vals, mask):
     return fwd * bwd
 
 
-@partial(jax.jit, static_argnames=("max_loops",))
+@partial(jax.jit, static_argnames=("max_loops", "return_posterior"))
 def bp_decode_batch(graph: BPGraphArrays, bias: jax.Array,
-                    max_loops: int = 100):
+                    max_loops: int = 100, return_posterior: bool = False):
     """Decode a batch against the all-zero syndrome.
 
     bias: (B, N) float — P(bit = 1).
     Returns (x (B, N) int32 hard decisions, success (B,) bool,
     iters (B,) int32 — iteration at which each word converged, clamped to
-    max_loops).
+    max_loops[, q1 (B, N) float32 soft posteriors P(bit=1) when
+    ``return_posterior`` — frozen at each word's convergence point, the
+    input of the ``--bp-features`` neural-decoder experiment]).
     """
     bias = bias.astype(jnp.float32)
     B = bias.shape[0]
@@ -131,4 +133,6 @@ def bp_decode_batch(graph: BPGraphArrays, bias: jax.Array,
     state = (dqc0, q1_init, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
     dqc, q1, done, iters = jax.lax.fori_loop(0, max_loops, body, state)
     x = (q1 >= 0.5).astype(jnp.int32)
+    if return_posterior:
+        return x, done, iters, q1
     return x, done, iters

@@ -41,8 +41,8 @@ N_INFO = 48
 
 
 def create_state(model: LDPCModel, sample_batch: dict, seed: int = 0,
-                 base_lr: float = 1e-2):
-    inputs = _model_inputs(sample_batch)
+                 base_lr: float = 1e-2, bp_features: bool = False):
+    inputs = _model_inputs(sample_batch, bp_features=bp_features)
     # jit the init: eager init dispatches hundreds of tiny ops, which is
     # pathological over a remote-device transport
     variables = jax.jit(partial(model.init, train=True))(
@@ -54,6 +54,49 @@ def create_state(model: LDPCModel, sample_batch: dict, seed: int = 0,
         opt_state=tx.init(variables["params"]),
         gcnt=jnp.asarray(0, jnp.int32),
     ), tx
+
+
+_BP_ARRAYS = None
+
+
+def _bp_arrays():
+    """TPU-batched-BP tables for the A2 joint graph (trace-time consts)."""
+    global _BP_ARRAYS
+    if _BP_ARRAYS is None:
+        from ..data.ldpc_datasets import decode_graph
+        from ..ops.bp import BPGraphArrays
+
+        _BP_ARRAYS = BPGraphArrays.from_ref(decode_graph())
+    return _BP_ARRAYS
+
+
+def _augment_bp_features(node_feature, max_loops: int = 50):
+    """--bp-features: append sum-product posteriors to the node features.
+
+    The round-3/4 clean-channel result (RESULTS.md) is that the FGNN
+    decoder trails classical BP on the sigma_b <= 1 cells where AWGN is
+    exact and BP is near-ML.  This experiment hands the model BP's own
+    posterior (centered, 2*q1-1) plus its syndrome-convergence flag as
+    extra input features, so the network can LEARN the decision boundary
+    "trust BP when it converged, repair it in the burst band" instead of
+    rediscovering BP from scratch.  The decode runs on-device (batched
+    JAX sum-product, ops/bp.py) inside the jitted train/eval steps from
+    the same nominal-channel bias the reference's y2b produces
+    (/root/reference/lib/data/MNC/MNC_py.cpp:104-108).
+    """
+    from ..ops.bp import bp_decode_batch
+
+    y = node_feature[..., 0]
+    snr_db = node_feature[..., 1]
+    gcx = jnp.power(10.0, snr_db / 20.0)
+    bias = 1.0 / (1.0 + jnp.exp(-2.0 * gcx * y))
+    _, ok, _, q1 = bp_decode_batch(_bp_arrays(), bias, max_loops=max_loops,
+                                   return_posterior=True)
+    extra = jnp.stack([2.0 * q1 - 1.0,
+                       jnp.broadcast_to(ok[:, None].astype(jnp.float32),
+                                        q1.shape)], axis=-1)
+    return jnp.concatenate([node_feature, extra.astype(node_feature.dtype)],
+                           axis=-1)
 
 
 _STATIC_TABLES = None
@@ -74,7 +117,7 @@ def _static_tables():
 _TABLES_VALIDATED = None  # verdict of the last CONCRETE value check
 
 
-def _model_inputs(batch: dict) -> dict:
+def _model_inputs(batch: dict, bp_features: bool = False) -> dict:
     # The 96.3.963 incidence tables are the same for every sample; pass
     # them SHARED (2D) and as TRACE-TIME CONSTANTS (numpy, not a slice of
     # the traced batch) so the gather has no batch dim and the fused
@@ -109,8 +152,11 @@ def _model_inputs(batch: dict) -> dict:
     elif hasattr(nn_f2v, "ndim") and nn_f2v.ndim == 3:
         nn_f2v = nn_f2v[0]
         nn_v2f = nn_v2f[0]
+    node_feature = batch["node_feature"]
+    if bp_features:
+        node_feature = _augment_bp_features(jnp.asarray(node_feature))
     return {
-        "node_feature": batch["node_feature"],
+        "node_feature": node_feature,
         "hop_feature": batch["hop_feature"],
         "nn_idx_f2v": nn_f2v,
         "nn_idx_v2f": nn_v2f,
@@ -119,12 +165,13 @@ def _model_inputs(batch: dict) -> dict:
     }
 
 
-def make_train_step(model: LDPCModel, tx):
+def make_train_step(model: LDPCModel, tx, clean_weight: float = 0.0,
+                    bp_features: bool = False):
     # donate the carried state: params/opt buffers update in place, which
     # also removes a pile of defensive copies from the compiled step
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
-        inputs = _model_inputs(batch)
+        inputs = _model_inputs(batch, bp_features=bp_features)
         label = batch["label"][:, :N_INFO].astype(jnp.float32)
         sigma_target = jnp.power(10.0, batch["sigma_b"].astype(jnp.float32) / 20.0)
 
@@ -132,8 +179,18 @@ def make_train_step(model: LDPCModel, tx):
             (logits, sb_pred), upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 **inputs, train=True, mutable=["batch_stats"])
-            bce = optax.sigmoid_binary_cross_entropy(
-                logits.reshape(-1), label.reshape(-1)).mean()
+            per_bit = optax.sigmoid_binary_cross_entropy(
+                logits.reshape(label.shape), label)
+            if clean_weight:
+                # --clean-weight: upweight the sigma_b <= 1 samples, where
+                # classical BP is near-ML and the r3/r4 models kept
+                # trading clean-channel accuracy for the burst band
+                w = 1.0 + clean_weight * (
+                    batch["sigma_b"].astype(jnp.float32).reshape(-1)
+                    <= 1.0)
+                bce = jnp.sum(w * per_bit.mean(axis=-1)) / jnp.sum(w)
+            else:
+                bce = per_bit.mean()
             mse = jnp.mean(jnp.square(sb_pred.reshape(-1) - sigma_target.reshape(-1)))
             return bce + 0.1 * mse, (bce, mse, logits, upd["batch_stats"])
 
@@ -151,12 +208,12 @@ def make_train_step(model: LDPCModel, tx):
     return train_step
 
 
-def make_eval_step(model: LDPCModel):
+def make_eval_step(model: LDPCModel, bp_features: bool = False):
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
         (logits, _) = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            **_model_inputs(batch), train=False)
+            **_model_inputs(batch, bp_features=bp_features), train=False)
         return (logits >= 0).astype(jnp.int32)
 
     return eval_step
@@ -177,8 +234,12 @@ def train(args, model, writer, model_dir):
             lambda: ContinuousCodesSP(length=spe, snr=snr, seed=seed),
             args.batch_size, n_workers=args.workers, seed=args.seed)
     sample_batch = next(dataset.batches(args.batch_size))
-    state, tx = create_state(model, sample_batch, seed=args.seed)
-    train_step = make_train_step(model, tx)
+    bp_feats = getattr(args, "bp_features", False)
+    state, tx = create_state(model, sample_batch, seed=args.seed,
+                             bp_features=bp_feats)
+    train_step = make_train_step(
+        model, tx, clean_weight=getattr(args, "clean_weight", 0.0),
+        bp_features=bp_feats)
     sched = Schedules.ldpc()
 
     start_epoch = 0
@@ -254,11 +315,12 @@ def evaluate(args, model, state=None):
         generate_eval_set(args.test_path, n_per_cell=args.eval_per_cell,
                           with_bp_error=args.eval_bp_baseline)
     ds = Codes(args.test_path)
+    bp_feats = getattr(args, "bp_features", False)
     if state is None:
         sample = next(ds.batches(args.batch_size))
-        state, _ = create_state(model, sample)
+        state, _ = create_state(model, sample, bp_features=bp_feats)
         state, _, _ = load_checkpoint(args.model_path, state)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, bp_features=bp_feats)
 
     snrs, sbs = [0, 1, 2, 3, 4], [0, 1, 2, 3, 4, 5]
     acc_cnt = np.zeros((len(snrs), len(sbs)))
@@ -320,6 +382,14 @@ def parse_args(argv=None):
     p.add_argument("--work-dir", type=str, default="runs")
     p.add_argument("--workers", type=int, default=0,
                    help="multiprocess sample-synthesis workers (0 = inline)")
+    p.add_argument("--clean-weight", "--clean_weight", type=float,
+                   default=0.0,
+                   help="extra loss weight on sigma_b<=1 samples (the "
+                        "clean-channel cells where BP is near-ML); 0=off")
+    p.add_argument("--bp-features", "--bp_features", action="store_true",
+                   default=False,
+                   help="append on-device sum-product posteriors + the "
+                        "BP convergence flag to the node features")
     p.add_argument("--mesh", type=str, default="",
                    help="DPxTP device mesh for sharded training "
                         "(e.g. 8x1, 4x2, or 'auto' = pure DP over all "

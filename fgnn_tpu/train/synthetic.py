@@ -104,25 +104,47 @@ class SynWorkload:
             mixed = getattr(args, "mixed_lengths", "")
             lengths = ([int(x) for x in mixed.split(",") if x]
                        if mixed else [L])
-            if mixed:
-                from ..data import MixedLengthHopData
+            dist = getattr(args, "length_dist", "")
 
-                self.dataset = MixedLengthHopData(
-                    lengths, hop_order=args.hop_order,
+            def joint_tables(batch_lengths):
+                pw_tabs = [pw_factor_table(Lx) for Lx in batch_lengths]
+                hi_tabs = [high_factor_table(Lx, args.hop_order)
+                           for Lx in batch_lengths]
+                coo_pw, efe_pw, _ = build_joint_coo(
+                    [t for t, _ in pw_tabs], [e for _, e in pw_tabs],
+                    batch_lengths)
+                coo_hi, efe_hi, _ = build_joint_coo(
+                    [t for t, _ in hi_tabs], [e for _, e in hi_tabs],
+                    batch_lengths)
+                return {"coo_pw": coo_pw, "ef_pw": efe_pw,
+                        "coo_high": coo_hi, "ef_high": efe_hi}
+
+            self.buckets = None
+            if dist:
+                # BUCKETED ragged batching: chain lengths follow a real
+                # distribution; each batch is homogeneous in length, one
+                # compile per bucket (amortized), zero padding.
+                from ..data import BucketedHopData
+
+                probs = [float(x) for x in dist.split(",") if x]
+                self.dataset = BucketedHopData(
+                    lengths, probs, hop_order=args.hop_order,
                     ret_efeature_pw=False, seed=args.seed)
-            per_batch = lengths * B  # composite order, batch-major
-            pw_tabs = [pw_factor_table(Lx) for Lx in lengths] * B
-            hi_tabs = [high_factor_table(Lx, args.hop_order)
-                       for Lx in lengths] * B
-            coo_pw, efe_pw, _ = build_joint_coo(
-                [t for t, _ in pw_tabs], [e for _, e in pw_tabs], per_batch)
-            coo_hi, efe_hi, _ = build_joint_coo(
-                [t for t, _ in hi_tabs], [e for _, e in hi_tabs], per_batch)
+                self.buckets = {Lx: joint_tables([Lx] * B)
+                                for Lx in lengths}
+                self.static = self.buckets[lengths[0]]
+            else:
+                if mixed:
+                    from ..data import MixedLengthHopData
+
+                    self.dataset = MixedLengthHopData(
+                        lengths, hop_order=args.hop_order,
+                        ret_efeature_pw=False, seed=args.seed)
+                # composite order, batch-major
+                self.static = joint_tables(lengths * B)
             self.model = SynHopFactorModelCoo(hop_order=args.hop_order,
                                               **dim_kw)
             self.workload = "hop_coo"
-            self.static = {"coo_pw": coo_pw, "ef_pw": efe_pw,
-                           "coo_high": coo_hi, "ef_high": efe_hi}
         elif workload == "hop":
             self.model = SynHopFactorModel(hop_order=args.hop_order, **dim_kw)
             nn_pw, ef_pw = pw_factor_table(L)
@@ -143,9 +165,14 @@ class SynWorkload:
                     "pws": batch["pws"], **self.static}
         if self.workload == "hop_coo":
             flat = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+            static = self.static
+            if getattr(self, "buckets", None):
+                # bucketed mode: pick the tables matching this batch's
+                # (homogeneous) chain length; jit retraces once per bucket
+                static = self.buckets[int(batch["node_feature"].shape[1])]
             return {"node_feature": flat(batch["node_feature"]),
                     "pws": flat(batch["pws"]),
-                    "hops": flat(batch["efeature_hop"]), **self.static}
+                    "hops": flat(batch["efeature_hop"]), **static}
         return {"node_feature": batch["node_feature"], "pws": batch["pws"],
                 "hops": batch["efeature_hop"], **self.static}
 
@@ -246,6 +273,14 @@ def train_and_eval(workload: str, args):
             return _npz.batches(args.batch_size, shuffle=True,
                                 seed=args.seed + epoch_counter[0])
     pool = None
+    if getattr(args, "mixed_lengths", "") or getattr(args, "length_dist", ""):
+        # the ragged COO modes own their sampler (composite or bucketed);
+        # the generic worker pool would synthesize plain fixed-length
+        # chains and silently defeat them
+        if workers:
+            logging.info("--mixed-lengths/--length-dist: inline synthesis "
+                         "(worker pool does not apply)")
+        workers = 0
     if not train_path and workers:
         from ..data.loader import PoolBatcher
 
@@ -258,8 +293,11 @@ def train_and_eval(workload: str, args):
 
     wl = SynWorkload(workload, args)
     if batch_source is None:
-        batch_source = lambda n: batches(wl.dataset, args.batch_size, n)  # noqa: E731
-    sample = next(batches(wl.dataset, args.batch_size, 1))
+        if hasattr(wl.dataset, "batches"):  # BucketedHopData: the dataset
+            batch_source = lambda n: wl.dataset.batches(args.batch_size, n)  # noqa: E731
+        else:
+            batch_source = lambda n: batches(wl.dataset, args.batch_size, n)  # noqa: E731
+    sample = next(batch_source(1))
     state, tx = create_state(wl, sample, args.seed)
     train_step = make_train_step(wl, tx)
     sched = Schedules.exp_decay(0.98)
@@ -336,6 +374,8 @@ def train_and_eval(workload: str, args):
                 "--batch-size or use a larger test shard")
         eval_source = test_npz.batches(args.batch_size, shuffle=False)
         eval_source = (b for _, b in zip(range(eval_batches), eval_source))
+    elif hasattr(wl.dataset, "batches"):
+        eval_source = wl.dataset.batches(args.batch_size, eval_batches)
     else:
         eval_source = batches(wl.dataset, args.batch_size, eval_batches)
     for batch in eval_source:
@@ -386,4 +426,10 @@ def parse_args(argv=None, workload: str = "fixed"):
                    help="(hop --coo) comma list of chain lengths; every "
                         "batch holds batch-size groups with one chain per "
                         "length, flat-batched with zero padding")
+    p.add_argument("--length-dist", "--length_dist", type=str, default="",
+                   help="(hop --coo, with --mixed-lengths) comma list of "
+                        "probabilities, one per length: chains draw their "
+                        "length from this distribution and batches are "
+                        "BUCKETED per length (one compile per bucket, "
+                        "zero padding)")
     return p.parse_args(argv)

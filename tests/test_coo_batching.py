@@ -206,6 +206,40 @@ def test_mixed_length_trainer_end_to_end(tmp_path):
     assert 0.0 <= acc <= 1.0 and 0.0 <= lp_acc <= 1.0
 
 
+def test_bucketed_length_trainer_end_to_end(tmp_path):
+    """--coo --mixed-lengths --length-dist: a genuinely heterogeneous
+    length DISTRIBUTION, bucketed into homogeneous per-length batches
+    (one compile per bucket), through the full train_and_eval engine."""
+    from fgnn_tpu.train.synthetic import parse_args, train_and_eval
+
+    args = parse_args(
+        ["--train-epoches", "1", "--train-size", "12", "--test-size", "6",
+         "--batch-size", "2", "--coo", "--mixed-lengths", "9,12,15",
+         "--length-dist", "0.5,0.3,0.2",
+         "--workers", "0", "--work-dir", str(tmp_path)], "hop")
+    acc, lp_acc = train_and_eval("hop", args)
+    assert 0.0 <= acc <= 1.0 and 0.0 <= lp_acc <= 1.0
+
+
+def test_bucketed_sampler_distribution_and_shapes():
+    """BucketedHopData: every batch is homogeneous in one of the
+    configured lengths, and the run-level bucket frequencies follow the
+    configured distribution."""
+    from fgnn_tpu.data import BucketedHopData
+
+    ds = BucketedHopData([8, 11, 13], [0.6, 0.3, 0.1], hop_order=5, seed=0)
+    seen = {8: 0, 11: 0, 13: 0}
+    for b in ds.batches(3, 60):
+        L = b["node_feature"].shape[1]
+        assert b["node_feature"].shape == (3, L, 2)
+        assert b["label"].shape == (3, L)
+        assert L in seen
+        seen[L] += 1
+    assert seen[8] > seen[13]  # 0.6 vs 0.1 over 60 draws
+    assert sum(seen.values()) == 60
+    assert all(v > 0 for v in seen.values())
+
+
 def test_mixed_length_composite_sampler(rng):
     """MixedLengthHopData samples are ragged concatenations with exact
     per-chain oracle labels (no padding rows anywhere)."""
