@@ -94,6 +94,49 @@ def bench_rpgm(batch_size, iters, L=30, hop=9):
     return edges / dt
 
 
+def bench_rpgm_train(batch_size, iters, L=30, hop=9):
+    """edges/s on the RPGM-hop TRAIN step (forward + backward + Adam) —
+    the reference's actual workload is training
+    (/root/reference/train_syn_hop_factor.py:275-306); the inference
+    number above keeps BASELINE.md's primary-metric definition."""
+    import types
+
+    import jax
+    import numpy as np
+
+    from fgnn_tpu.train.synthetic import (
+        SynWorkload,
+        create_state,
+        make_train_step,
+    )
+
+    args = types.SimpleNamespace(chain_length=L, hop_order=hop, hop_cap=5,
+                                 neighbour=8, model_name="mp_nn_factor",
+                                 dims=None, seed=0, batch_size=batch_size)
+    wl = SynWorkload("hop", args)
+    rng = np.random.RandomState(0)
+    batch = jax.device_put({
+        "node_feature": rng.rand(batch_size, L, 2).astype(np.float32),
+        "pws": rng.rand(batch_size, L, 4).astype(np.float32),
+        "efeature_hop": rng.rand(batch_size, L, hop).astype(np.float32),
+        "label": rng.randint(0, 2, (batch_size, L)).astype(np.int32),
+        "lp_label": rng.randint(0, 2, (batch_size, L)).astype(np.int32),
+    })
+    state, tx = create_state(wl, batch, seed=0)
+    step_fn = make_train_step(wl, tx)
+    for _ in range(2):
+        state, _ = step_fn(state, batch)
+    holder = {"state": state}
+
+    def step():
+        holder["state"], m = step_fn(holder["state"], batch)
+        return m["loss"]
+
+    dt = _time_steps(step, iters)
+    edges = 6 * (2 * L * 2 + 2 * L * hop) * batch_size
+    return edges / dt
+
+
 def main():
     import jax
 
@@ -138,46 +181,70 @@ def main():
                 rpgm_eps / baselines["rpgm_edges_per_s"], 4)
         print(json.dumps(row))
 
-    ds = ContinuousCodesSP(length=batch_size, seed=0)
-    batch = jax.device_put(next(ds.batches(batch_size)))
+        rpgm_tr = bench_rpgm_train(batch_size, iters)
+        row = {
+            "metric": "rpgm_train_edges_per_s",
+            "value": round(rpgm_tr, 1),
+            "unit": "edges/s",
+        }
+        if "rpgm_train_edges_per_s" in baselines:
+            row["vs_baseline"] = round(
+                rpgm_tr / baselines["rpgm_train_edges_per_s"], 4)
+        print(json.dumps(row))
 
-    model = LDPCModel()
-    state, tx = create_state(model, batch)
-    train_step = make_train_step(model, tx)
+    def bench_ldpc(use_bf16):
+        import jax.numpy as jnp
 
-    # edge count per sample (messages through typed_mp_conv per layer)
-    n_layers = len(model.dim_mapping_list) - 1
-    edges_per_sample = (96 * 3 + 48 * 6 + 96 + 96) * n_layers
-    edges_per_step = edges_per_sample * batch_size
+        from fgnn_tpu.models.policy import set_compute_dtype
 
-    # warmup / compile (two extra steps beyond _time_steps's own warmup)
-    for _ in range(2):
-        state, m = train_step(state, batch)
-    holder = {"state": state}
+        set_compute_dtype(jnp.bfloat16 if use_bf16 else jnp.float32)
+        ds = ContinuousCodesSP(length=batch_size, seed=0)
+        batch = jax.device_put(next(ds.batches(batch_size)))
+        model = LDPCModel()
+        state, tx = create_state(model, batch)
+        train_step = make_train_step(model, tx)
+        n_layers = len(model.dim_mapping_list) - 1
+        edges_per_step = (96 * 3 + 48 * 6 + 96 + 96) * n_layers * batch_size
+        for _ in range(2):
+            state, m = train_step(state, batch)
+        holder = {"state": state}
 
-    def step():
-        holder["state"], m = train_step(holder["state"], batch)
-        return m["loss"]
+        def step():
+            holder["state"], m = train_step(holder["state"], batch)
+            return m["loss"]
 
-    edges_per_s = edges_per_step / _time_steps(step, iters)
+        return edges_per_step / _time_steps(step, iters)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     if os.path.exists(base_path):
         baseline = json.load(open(base_path))["edges_per_s"]
     else:
-        baseline = edges_per_s
-        with open(base_path, "w") as f:
-            json.dump({"edges_per_s": edges_per_s,
-                       "note": "first recorded run"}, f)
+        baseline = None
 
-    print(json.dumps({
-        "metric": "edges_per_s",
-        "value": round(edges_per_s, 1),
-        "unit": "edges/s",
-        "policy": "bf16_compute" if bf16 else "f32",
-        "vs_baseline": round(edges_per_s / baseline, 4),
-    }))
+    # BOTH policies every run (VERDICT r4 item 8: keep cross-round ratios
+    # like-for-like): the f32 line first, then the flagship bf16-compute
+    # line LAST (the driver tracks the final line; bf16 is the shipped
+    # training configuration — it trained the best recorded BER matrix).
+    # FGNN_BENCH_BF16=0 stops after f32 (the f32 line is then tracked).
+    rows = [bench_ldpc(False)]
+    policies = ["f32"]
+    if bf16:
+        rows.append(bench_ldpc(True))
+        policies.append("bf16_compute")
+    if baseline is None:
+        baseline = rows[0]
+        with open(base_path, "w") as f:
+            json.dump({"edges_per_s": baseline,
+                       "note": "first recorded run (f32)"}, f)
+    for eps, pol in zip(rows, policies):
+        print(json.dumps({
+            "metric": "edges_per_s",
+            "value": round(eps, 1),
+            "unit": "edges/s",
+            "policy": pol,
+            "vs_baseline": round(eps / baseline, 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -127,12 +127,19 @@ def rpgm_workload(batch_size, L=30, hop=9):
     x = jnp.asarray(rng.rand(batch_size, L, 2).astype(np.float32))
     pws = jnp.asarray(rng.rand(batch_size, L, 4).astype(np.float32))
     hops = jnp.asarray(rng.rand(batch_size, L, hop).astype(np.float32))
-    args = (x, pws, hops, jnp.asarray(nn_pw), jnp.asarray(ef_pw),
-            jnp.asarray(nn_hi), jnp.asarray(ef_hi))
+    args = (x, pws, hops)
+    # graph tables ride the CLOSURE as trace-time constants, exactly like
+    # the trainers and bench.py: passing them as jit arguments makes them
+    # tracers, which disables the fused kernel and the concrete-table
+    # shortcuts and profiles a path no real flow uses (measured 23.5 ms
+    # vs ~7 ms at B=256 — an r5 harness bug, not a model regression)
+    tables = (nn_pw, ef_pw, nn_hi, ef_hi)
 
     model = SynHopFactorModel(hop_order=hop)
-    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
-    fwd = jax.jit(lambda v, *a: model.apply(v, *a, train=False))
+    variables = jax.jit(
+        lambda v, *a: model.init(v, *a, *tables, train=False))(
+        jax.random.PRNGKey(0), *args)
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a, *tables, train=False))
     compiled = fwd.lower(variables, *args).compile()
 
     def step():

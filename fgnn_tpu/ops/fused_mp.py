@@ -352,7 +352,8 @@ def _interpret() -> bool:
 
 
 def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
-                    mm_dtype_name, Nd, K, bT, bTf):
+                    mm_dtype_name, Nd, K, bT, bTf,
+                    out_dtype_name="float32"):
     bT = bTf  # the forward runs its own (wider) tile
     T, N, BC = h5.shape
     E = Nd * K
@@ -374,7 +375,11 @@ def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
             pl.BlockSpec((Nd, bT * C), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Nd, BC), jnp.float32),
+            # out rides the COMPUTE-POLICY dtype: under the bf16 policy the
+            # downstream transpose/bias/norm consume bf16 anyway, so the
+            # f32->bf16 round moves before the layout pass (same values,
+            # half the bytes)
+            jax.ShapeDtypeStruct((Nd, BC), jnp.dtype(out_dtype_name)),
             jax.ShapeDtypeStruct((Nd, BC), jnp.bfloat16),  # argmax, K <= 16
         ],
         scratch_shapes=[pltpu.VMEM((E, bT * C), jnp.float32)],
@@ -429,23 +434,25 @@ def _fused_bwd_impl(h5, et3, oh, oht, amax, nout, aggregator, gamma,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _fused(h5, et3, oh, oht, nout, aggregator, gamma,
-           mm_dtype_name, Nd, K, bT, bTf):
+           mm_dtype_name, Nd, K, bT, bTf, out_dtype_name):
     out, _ = _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
-                             gamma, mm_dtype_name, Nd, K, bT, bTf)
+                             gamma, mm_dtype_name, Nd, K, bT, bTf,
+                             out_dtype_name)
     return out
 
 
 def _fused_fwd(h5, et3, oh, oht, nout, aggregator, gamma,
-               mm_dtype_name, Nd, K, bT, bTf):
+               mm_dtype_name, Nd, K, bT, bTf, out_dtype_name):
     out, amax = _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator,
-                                gamma, mm_dtype_name, Nd, K, bT, bTf)
+                                gamma, mm_dtype_name, Nd, K, bT, bTf,
+                                out_dtype_name)
     return out, (h5, et3, oh, oht, amax)
 
 
 def _fused_bwd(nout, aggregator, gamma, mm_dtype_name, Nd, K, bT, bTf,
-               res, g):
+               out_dtype_name, res, g):
     h5, et3, oh, oht, amax = res
     if aggregator != "softmax":
         # the backward rounds dm to the matmul dtype anyway — casting the
@@ -563,8 +570,10 @@ def fused_typed_mp(
     oh = jnp.asarray(oh_np.astype(mm))
     oht = jnp.asarray(oh_np.T.copy().astype(mm))
 
+    out_dtype_name = ("bfloat16" if x.dtype == jnp.bfloat16 else "float32")
     out2 = _fused(h5, et3, oh, oht, nout, aggregator,
-                  float(gamma), mm_dtype_name, Nd, K, bT, bTf)  # (Nd, B*C)
+                  float(gamma), mm_dtype_name, Nd, K, bT, bTf,
+                  out_dtype_name)  # (Nd, B*C)
     out = jnp.transpose(out2.reshape(Nd, B, C), (1, 0, 2)).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
