@@ -9,16 +9,25 @@ against the pure-XLA one-hot path — forward AND input/etype/filter
 gradients — at the four flagship LDPC conv shapes plus an extension conv
 and a softmax conv, both paths at their production precision.
 
-Tolerance: both paths round matmul operands to bfloat16 (the MXU default
-— the XLA path via the hardware, the kernel explicitly), but they sum in
-different orders and split [x_i; x_i-x_j] differently, so results differ
-by O(bf16 eps * sqrt(K*T)) relative.  rel-err <= 2e-2 matches the
-bf16-policy bound already used by tests/test_policy.py:35; measured
-errors are typically ~1e-3.
+Criteria (all relative L2, ||a-b||/||b||):
 
-Max-tie note: gradients at EXACT message ties differ by design (first-win
-vs even split, see ops/fused_mp.py); continuous random inputs here make
-ties measure-zero.
+1. FORWARD, fused vs XLA at production bf16 operands: <= 2e-2 (the
+   bf16-policy bound of tests/test_policy.py:35; measured ~1.4e-3).
+2. GRADIENTS, symmetric-error test: with max aggregation, bf16 rounding
+   makes near-tied messages argmax DIFFERENTLY between any two
+   roundings, so the per-edge cotangent lands on a different (equally
+   valid per the subgradient) winner at a few percent of edges — the
+   fused and XLA bf16 gradients legitimately differ there (measured
+   2.4-4.1% rel-L2 between them).  What a kernel BUG would show is an
+   ASYMMETRY: the fused gradient sitting farther from the exact answer
+   than the XLA gradient.  So each path is compared against an
+   f32-HIGHEST-precision oracle and the check asserts
+   err_fused <= 1.5 * err_xla + 1e-3 — both roundings must be equally
+   good approximations of the exact gradient.
+3. MOSAIC-LOWERING exactness: one case runs the compiled kernel in its
+   precision='float32' mode against the f32 oracle and must agree to
+   5e-4 — separating "bf16 rounding noise" from "kernel math error" on
+   the real chip (the CPU suite only covers interpret mode).
 
 Run: ``python benchmarks/tpu_parity_check.py`` (with the TPU env as-is).
 Exits non-zero on failure; prints one JSON line per case.
@@ -35,14 +44,25 @@ TOL = 2e-2
 
 
 def rel_err(a, b):
+    """Relative L2 error (see metric note in the module docstring)."""
     import numpy as np
 
     a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
-    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9))
+
+
+def flip_frac(a, b):
+    """Fraction of elements disagreeing by >5% of the typical magnitude
+    (the argmax-flip footprint for max aggregation)."""
+    import numpy as np
+
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    scale = np.sqrt(np.mean(b * b)) + 1e-9
+    return float(np.mean(np.abs(a - b) > 0.05 * scale))
 
 
 def run_case(name, Ns, Nd, K, C, *, agg="max", ext=None, B=256, T=4,
-             Cin=64):
+             Cin=64, f32_mode=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -61,30 +81,58 @@ def run_case(name, Ns, Nd, K, C, *, agg="max", ext=None, B=256, T=4,
                 "diff": Extension.ORIG_WITH_DIFF,
                 "neighbor": Extension.ORIG_WITH_NEIGHBOR}[ext]
 
+    def vg(loss):
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                          has_aux=True))
+
     def loss_fused(x, et, w):
         out = fused_typed_mp(x, nn, et, w, C, aggregator=agg,
-                             extension=ext or "none")
+                             extension=ext or "none",
+                             precision="float32" if f32_mode else None)
         return jnp.sum(jnp.sin(out)), out
 
-    def loss_xla(x, et, w):
-        out = typed_mp_conv(x, nn, et, w, C, extension=ext_enum,
-                            aggregator=agg)
-        return jnp.sum(jnp.sin(out)), out
+    def loss_xla(precision):
+        def f(x, et, w):
+            out = typed_mp_conv(x, nn, et, w, C, extension=ext_enum,
+                                aggregator=agg, precision=precision)
+            return jnp.sum(jnp.sin(out)), out
+        return f
 
-    gf = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 1, 2),
-                                    has_aux=True))
-    gx = jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1, 2),
-                                    has_aux=True))
-    (lf, of), grads_f = gf(x, et, w)
-    (lx, ox), grads_x = gx(x, et, w)
-    jax.block_until_ready((grads_f, grads_x))
+    (_, of), grads_f = vg(loss_fused)(x, et, w)
+    # the dispatcher would route typed_mp_conv to the fused kernel too on
+    # TPU (concrete tables) — pin the XLA path while the reference sides
+    # TRACE, so the comparison is genuinely fused-vs-XLA
+    os.environ["FGNN_FUSED"] = "0"
+    try:
+        (_, ox), grads_x = vg(loss_xla(None))(x, et, w)
+        (_, oo), grads_o = vg(loss_xla(jax.lax.Precision.HIGHEST))(x, et, w)
+        jax.block_until_ready((grads_x, grads_o))
+    finally:
+        del os.environ["FGNN_FUSED"]
+    jax.block_until_ready(grads_f)
 
-    errs = {"out": rel_err(of, ox)}
-    for nm, a, b in zip(("dx", "detype", "dfilters"), grads_f, grads_x):
-        errs[nm] = rel_err(a, b)
-    ok = all(v <= TOL for v in errs.values())
-    print(json.dumps({"case": name, "ok": ok,
-                      **{k: round(v, 6) for k, v in errs.items()}}))
+    row = {"case": name + ("_f32mode" if f32_mode else ""),
+           "out_vs_xla": rel_err(of, ox)}
+    ok = row["out_vs_xla"] <= TOL
+    if f32_mode:
+        # criterion 3: compiled-kernel f32 math vs the f32 oracle
+        row["out_vs_oracle"] = rel_err(of, oo)
+        ok = ok and row["out_vs_oracle"] <= 5e-4
+        for nm, a, o in zip(("dx", "detype", "dfilters"), grads_f, grads_o):
+            e = rel_err(a, o)
+            row[f"{nm}_vs_oracle"] = e
+            ok = ok and e <= 5e-4
+    else:
+        # criterion 2: symmetric error vs the oracle + flip footprint
+        for nm, a, b, o in zip(("dx", "detype", "dfilters"),
+                               grads_f, grads_x, grads_o):
+            ef, ex = rel_err(a, o), rel_err(b, o)
+            row[f"{nm}_fused_vs_oracle"] = ef
+            row[f"{nm}_xla_vs_oracle"] = ex
+            row[f"flip_{nm}"] = flip_frac(a, b)
+            ok = ok and ef <= 1.5 * ex + 1e-3
+    print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in {**row, "ok": ok}.items()}))
     return ok
 
 
@@ -106,11 +154,14 @@ def main():
         ("v2f_c128_max", dict(Ns=96, Nd=48, K=6, C=128)),
         ("f2v_c64_softmax", dict(Ns=48, Nd=96, K=3, C=64, agg="softmax")),
         ("diff_c64_max", dict(Ns=96, Nd=96, K=4, C=64, ext="diff")),
+        # criterion 3 (one representative shape; f32 operands double the
+        # kernel's streamed-block VMEM, so only the lean f2v shape runs it)
+        ("f2v_c64_max", dict(Ns=48, Nd=96, K=3, C=64, f32_mode=True)),
     ]
     ok = True
     for name, kw in cases:
         ok = run_case(name, **kw) and ok
-    print(json.dumps({"all_ok": ok, "tolerance": TOL}))
+    print(json.dumps({"all_ok": ok, "fwd_tolerance": TOL}))
     return 0 if ok else 1
 
 

@@ -79,7 +79,7 @@ def _store_hg(bt: int, C: int, T: int, E: int) -> bool:
 
 
 def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
-               aggregator: str = "softmax") -> int:
+               aggregator: str = "softmax", mm_b: int = 2) -> int:
     """VMEM bytes of the backward tile — PHYSICAL accounting (r5).
 
     Two aggregator-aware effects matter:
@@ -94,16 +94,16 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
         16 MB scoped limit.
 
     Calibration points (real Mosaic outcomes, B=256 LDPC shapes, with
-    the r5 stream dtypes g=mm/amax=bf16):
-      REJECT f2v C=128 bt=32 max  -> est 12.1 MB, compiler rejects
-      REJECT f2v C=64  bt=64 max  -> est ~17 MB, real 23.49 MB (OOM)
-      ACCEPT f2v C=64  bt=32 smax -> est  9.8 MB, ran in r4
-      ACCEPT v2f C=64  bt=32 max  -> est  8.5 MB, compiles + runs (r5)
-      ACCEPT f2v C=64  bt=32 max  -> est  6.1 MB, compiles + runs (r5)
+    the r5 stream dtypes g=mm/amax=bf16; the 11 MB cap separates them):
+      REJECT f2v C=128 bt=32 max  -> est 11.95 MB, real 19.71 MB (OOM)
+      REJECT f2v C=64  bt=64 max  -> est ~17 MB,   real 23.49 MB (OOM)
+      ACCEPT f2v C=64  bt=32 smax -> est  9.8 MB,  ran in r4
+      ACCEPT v2f C=64  bt=32 max  -> est  8.6 MB,  compiles + runs (r5)
+      ACCEPT f2v C=64  bt=32 max  -> est  6.3 MB,  compiles + runs (r5)
     """
     bTC = bt * C
-    g_b = 4 if aggregator == "softmax" else 2              # g: f32 / mm
-    streamed = (2 * 2 * T * Ns * bTC                       # h5 + dh, bf16
+    g_b = 4 if aggregator == "softmax" else mm_b           # g: f32 / mm
+    streamed = (2 * mm_b * T * Ns * bTC                    # h5 + dh, mm
                 + g_b * Nd * bTC
                 + (2 * Nd * bTC if aggregator == "max" else 0)  # amax, bf16
                 + 2 * 4 * T * bt * E)                      # et + det, f32
@@ -111,8 +111,8 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
         hg = 2 * T * E * bTC if _store_hg(bt, C, T, E) else 0
         scratch = hg + (4 + 4) * E * bTC                   # msgs + dm, f32
     else:
-        scratch = 2 * E * bTC                              # dm, mm dtype
-    return 2 * streamed + scratch + 4 * 2 * E * _round_up(Ns, _LANE)
+        scratch = mm_b * E * bTC                           # dm, mm dtype
+    return 2 * streamed + scratch + mm_b * 2 * E * _round_up(Ns, _LANE)
 
 
 # The scoped-VMEM limit is 16 MB.  The FORWARD estimate below counts
@@ -124,11 +124,11 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
 # its cap is 14 MB -> <=16 MB real; both caps are pinned by the concrete
 # accept/reject calibration points listed on _bwd_bytes.
 _VMEM_EST_CAP = 9 << 20
-_BWD_EST_CAP = 12 << 20
+_BWD_EST_CAP = 11 << 20
 
 
 def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int,
-                aggregator: str = "softmax") -> int:
+                aggregator: str = "softmax", mm_b: int = 2) -> int:
     """Largest batch tile whose backward working set stays inside VMEM.
 
     TPU block rules additionally need bT >= 8 and bT*C lane-aligned;
@@ -138,7 +138,7 @@ def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int,
     even with the lean max-aggregation scratch."""
     for bt in (32, 16, 8):
         if (B % bt == 0 and bt * C <= 4096 and bt * C % _LANE == 0
-                and _bwd_bytes(bt, C, T, E, Ns, Nd, aggregator)
+                and _bwd_bytes(bt, C, T, E, Ns, Nd, aggregator, mm_b)
                 <= _BWD_EST_CAP):
             return bt
     return 1
@@ -183,6 +183,18 @@ def fused_supported(x_shape, nn_idx_shape, etype_shape, aggregator: str,
 # ---------------------------------------------------------------------------
 
 
+def _prec(mm_dtype):
+    """MXU precision for in-kernel dots: default (bf16 operand rounding)
+    for the production bf16 mode; HIGHEST (multi-pass decomposition) when
+    mm_dtype is f32 so precision='float32' is genuinely f32-accurate on
+    the real chip, not just f32-stored (r5 — the on-chip parity check's
+    Mosaic-exactness criterion depends on this)."""
+    import jax as _jax
+
+    return (_jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else None)
+
+
 def _seg_mats(bT, C, mm_dtype):
     """The 0/1 batch<->lane segment matrices, built in-VREG from iota:
     segt (bT, bT*C) expands per-batch scalars to their C lanes (via MXU),
@@ -198,6 +210,7 @@ def _seg_mats(bT, C, mm_dtype):
 def _expand(et_t, segt, mm_dtype):
     """(E, bT) -> (E, bT*C): repeat each batch lane C times (c-minor)."""
     return jax.lax.dot(et_t.astype(mm_dtype), segt,
+                       precision=_prec(mm_dtype),
                        preferred_element_type=jnp.float32)
 
 
@@ -216,6 +229,7 @@ def _fwd_kernel(oh_ref, h_ref, et_ref, out_ref, amax_ref, msgs,
     segt, _ = _seg_mats(bT, C, mm_dtype)
     for t in range(T):
         hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                           precision=_prec(mm_dtype),
                            preferred_element_type=jnp.float32)
         term = hg_t * _expand(et_ref[t].T, segt, mm_dtype)
         if t == 0:
@@ -279,6 +293,7 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, amax_ref,
         # when the scratch fits, else recomputed in the loop below)
         for t in range(T):
             hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                               precision=_prec(mm_dtype),
                                preferred_element_type=jnp.float32)
             if store_hg:
                 hg_all[t * E:(t + 1) * E] = hg_t.astype(hg_all.dtype)
@@ -330,15 +345,18 @@ def _bwd_kernel(g_ref, oh_ref, oht_ref, h_ref, et_ref, amax_ref,
             hg_t = hg_all[t * E:(t + 1) * E]
         else:
             hg_t = jax.lax.dot(oh, h_ref[t].astype(mm_dtype),
+                               precision=_prec(mm_dtype),
                                preferred_element_type=jnp.float32)
         prod = (dm[...] * hg_t).astype(mm_dtype)
         det_ref[t] = jax.lax.dot(
-            prod, seg, preferred_element_type=jnp.float32
+            prod, seg, precision=_prec(mm_dtype),
+            preferred_element_type=jnp.float32
         ).T.astype(det_ref.dtype)
         # ---- dh_t = onehot^T @ (dm * et_t)
         q = (dm[...] * _expand(et_ref[t].T, segt, mm_dtype)).astype(mm_dtype)
         dh_ref[t] = jax.lax.dot(
-            oht, q, preferred_element_type=jnp.float32
+            oht, q, precision=_prec(mm_dtype),
+            preferred_element_type=jnp.float32
         ).astype(dh_ref.dtype)
 
 
@@ -506,7 +524,8 @@ def fused_typed_mp(
     T = etype.shape[-1]
     C = nout
     n_eff = N if extension == "none" else 2 * N
-    bT = _batch_tile(B, C, T, Nd * K, n_eff, Nd, aggregator)
+    mm_b_tile = 4 if (precision == "float32" and not _interpret()) else 2
+    bT = _batch_tile(B, C, T, Nd * K, n_eff, Nd, aggregator, mm_b_tile)
     # forward and backward tiles are independent pallas_calls over the
     # same (Nd, B*C) block grid; each picks its own largest-fitting tile
     # (the r5 aggregator-aware backward can now be WIDER than the forward)
@@ -516,6 +535,10 @@ def fused_typed_mp(
     mm_dtype_name = ("float32" if (precision == "float32" or _interpret())
                      else "bfloat16")
     mm = jnp.dtype(mm_dtype_name)
+    # f32 mode must be f32 END TO END: the outside h matmul also gets the
+    # multi-pass decomposition (the TPU default rounds its operands to
+    # bf16 regardless of storage dtype)
+    hprec = (jax.lax.Precision.HIGHEST if mm == jnp.float32 else None)
 
     # layout transforms (all tiny; they stay inside the autodiff graph so
     # their transposes are differentiated by XLA, outside the custom VJP)
@@ -532,6 +555,7 @@ def fused_typed_mp(
     if extension == "none":
         h = jnp.matmul(x.astype(jnp.float32),
                        tmajor(filters).astype(jnp.float32),
+                       precision=hprec,
                        preferred_element_type=jnp.float32).astype(mm)
     else:
         w_self = filters[:Cin]
@@ -543,9 +567,10 @@ def fused_typed_mp(
         else:
             raise ValueError(f"unknown extension {extension!r}")
         xf = x.astype(jnp.float32)
-        ha = jnp.matmul(xf, wa.astype(jnp.float32),
+        ha = jnp.matmul(xf, wa.astype(jnp.float32), precision=hprec,
                         preferred_element_type=jnp.float32)
         hb = jnp.matmul(xf, tmajor(w_nbr).astype(jnp.float32),
+                        precision=hprec,
                         preferred_element_type=jnp.float32)
         h = jnp.concatenate([ha.astype(mm), (sign * hb).astype(mm)],
                             axis=1)                        # (B, 2N, TC)
