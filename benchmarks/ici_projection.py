@@ -75,7 +75,8 @@ def time_fn(fn, *args, iters=10):
             out = fn(*args)
         _readback(out)
         best = min(best, (time.perf_counter() - t0 - rtt) / iters)
-    return best
+    # the RTT subtraction can push sub-RTT kernels negative; clamp
+    return max(best, 0.0)
 
 
 def make_graph(args, rng):
