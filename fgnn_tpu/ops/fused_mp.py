@@ -93,13 +93,14 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
         let wide tiles through that really cost 22.7-23.5 MB against the
         16 MB scoped limit.
 
-    Calibration points (real Mosaic outcomes, B=256 LDPC shapes, with
-    the r5 stream dtypes g=mm/amax=bf16; the 11 MB cap separates them):
-      REJECT f2v C=128 bt=32 max  -> est 11.95 MB, real 19.71 MB (OOM)
-      REJECT f2v C=64  bt=64 max  -> est ~17 MB,   real 23.49 MB (OOM)
-      ACCEPT f2v C=64  bt=32 smax -> est  9.8 MB,  ran in r4
-      ACCEPT v2f C=64  bt=32 max  -> est  8.6 MB,  compiles + runs (r5)
-      ACCEPT f2v C=64  bt=32 max  -> est  6.3 MB,  compiles + runs (r5)
+    Calibration (real Mosaic footprints vs this estimate, B=256 LDPC
+    shapes, r5 stream dtypes g=mm/amax=bf16 — the est-to-real ratio is
+    ~1.2-1.3, which the cap accounts for):
+      f2v C=128 bt=32 max -> est 11.95 MB, real 19.71 MB
+      f2v C=64  bt=64 max -> est ~17 MB,   real 23.49 MB
+    Under the r4-era DEFAULT 16 MB scoped limit both were OOMs; the
+    kernels now request a raised per-call limit (_VMEM_LIMIT below) and
+    the cap instead bounds total per-kernel VMEM to ~60 MB real.
     """
     bTC = bt * C
     g_b = 4 if aggregator == "softmax" else mm_b           # g: f32 / mm
@@ -115,27 +116,49 @@ def _bwd_bytes(bt: int, C: int, T: int, E: int, Ns: int, Nd: int,
     return 2 * streamed + scratch + mm_b * 2 * E * _round_up(Ns, _LANE)
 
 
-# The scoped-VMEM limit is 16 MB.  The FORWARD estimate below counts
-# streamed blocks once and the MEASURED footprint runs ~1.7x it (block
-# double-buffering, layout padding, VREG spill): a 9 MB estimate cap
-# lands at ~15.5 MB real (calibrated against an observed 20.24 MB OOM at
-# an 11.7 MB estimate).  The BACKWARD estimate (physical accounting with
-# explicit double-buffer terms, see _bwd_bytes) runs ~1.2-1.3x real, so
-# its cap is 14 MB -> <=16 MB real; both caps are pinned by the concrete
-# accept/reject calibration points listed on _bwd_bytes.
+# VMEM policy (r5, final): Mosaic's per-kernel scoped-VMEM limit
+# defaults to 16 MB but is SETTABLE per pallas_call
+# (CompilerParams.vmem_limit_bytes); the kernels request _VMEM_LIMIT.
+# Measured findings from the wide-tile sweep (all on the real chip,
+# B=256 flagship step):
+#   * wide-everywhere (48 MB cap, doubled fwd tiles, 100 MB limit):
+#     REGRESSION — f32 175.6 -> ~160, bf16 199.7 -> ~182 M edges/s;
+#   * isolated microbench: only the lean f2v-class C=64 backward wins
+#     from bt=64 (0.202 -> 0.049 ms fwd+bwd); v2f/C=128 are flat to
+#     slightly worse;
+#   * the selective policy below (bt=64 only for that class, minimal
+#     28 MB limit, fwd tiles unchanged) measures NEUTRAL end to end
+#     (f32 ~175, bf16 ~196-199) — kept because it never hurts, the
+#     isolated win may matter at other batch shapes, and the limit
+#     machinery documents a real Mosaic tuning surface.
+import os as _os
+
+# 28 MB: just enough for the 64-wide tile's ~23.5 MB real footprint.
+# 100 MB was measured and REJECTED: reserving a large scoped window
+# starves the surrounding XLA ops of VMEM and costs ~8% end to end
+# (f32 175.6 -> ~160 M edges/s).
+_VMEM_LIMIT = int(_os.environ.get("FGNN_VMEM_LIMIT_MB", "28")) << 20
 _VMEM_EST_CAP = 9 << 20
 _BWD_EST_CAP = 11 << 20
+# 13 MB selects exactly the measured-win class (f2v-lean est 12.5 MB;
+# v2f est 17.0 MB measured flat-to-worse at 64)
+_BWD_WIDE_CAP = 13 << 20
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _batch_tile(B: int, C: int, T: int, E: int, Ns: int, Nd: int,
                 aggregator: str = "softmax", mm_b: int = 2) -> int:
-    """Largest batch tile whose backward working set stays inside VMEM.
+    """Backward batch tile (see the VMEM policy note above).
 
     TPU block rules additionally need bT >= 8 and bT*C lane-aligned;
-    callers treat a return of 1 as unsupported.  64-wide tiles were
-    tried (r5) and REJECTED by Mosaic: the double-buffered streamed
-    blocks put the real footprint at 23.49 MB vs the 16 MB scoped limit
-    even with the lean max-aggregation scratch."""
+    callers treat a return of 1 as unsupported."""
+    if (B % 64 == 0 and 64 * C <= 4096 and
+            _bwd_bytes(64, C, T, E, Ns, Nd, aggregator, mm_b)
+            <= _BWD_WIDE_CAP):
+        return 64
     for bt in (32, 16, 8):
         if (B % bt == 0 and bt * C <= 4096 and bt * C % _LANE == 0
                 and _bwd_bytes(bt, C, T, E, Ns, Nd, aggregator, mm_b)
@@ -401,6 +424,7 @@ def _fused_fwd_impl(h5, et3, oh, oht, nout, aggregator, gamma,
             jax.ShapeDtypeStruct((Nd, BC), jnp.bfloat16),  # argmax, K <= 16
         ],
         scratch_shapes=[pltpu.VMEM((E, bT * C), jnp.float32)],
+        compiler_params=None if _interpret() else _compiler_params(),
         interpret=_interpret(),
     )(oh, h5, et3)
     return out, amax
@@ -446,6 +470,7 @@ def _fused_bwd_impl(h5, et3, oh, oht, amax, nout, aggregator, gamma,
             pltpu.VMEM((E, bT * C),
                        jnp.float32 if aggregator == "softmax" else mm_dtype),
         ],
+        compiler_params=None if _interpret() else _compiler_params(),
         interpret=_interpret(),
     )(g, oh, oht, h5, et3, amax)
     return dh5, det3
