@@ -44,15 +44,17 @@ def _readback(x):
 
 
 def _time_steps(step, iters):
-    """Best-of-3 per-step time with one forced readback per trial and the
-    bare readback round-trip subtracted (see methodology note above)."""
+    """Best-of-5 per-step time with one forced readback per trial and the
+    bare readback round-trip subtracted (see methodology note above).
+    Five trials (r5, was 3): run-to-run variance through the tunnel is
+    ±5-10%, and the best-of estimator needs more draws to stabilize."""
     out = step()
     _readback(out)
     t0 = time.perf_counter()
     _readback(out)
     rtt = time.perf_counter() - t0
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step()

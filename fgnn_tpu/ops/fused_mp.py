@@ -139,7 +139,10 @@ import os as _os
 # (f32 175.6 -> ~160 M edges/s).
 _VMEM_LIMIT = int(_os.environ.get("FGNN_VMEM_LIMIT_MB", "28")) << 20
 _VMEM_EST_CAP = 9 << 20
-_BWD_EST_CAP = 11 << 20
+# 17 MB: admits the C=128 32-wide tiles (ests 11.95/16.45 MB -> ~20-22 MB
+# real, inside the 28 MB window), which measure 17-27% faster than their
+# 16-wide tiles under this window (f2v128 0.475 -> 0.345 ms fwd+bwd)
+_BWD_EST_CAP = 17 << 20
 # 13 MB selects exactly the measured-win class (f2v-lean est 12.5 MB;
 # v2f est 17.0 MB measured flat-to-worse at 64)
 _BWD_WIDE_CAP = 13 << 20
