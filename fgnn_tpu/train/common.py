@@ -95,10 +95,17 @@ CKPT_FORMAT_VERSION = 2
 
 
 def _opt_layout(state: TrainState) -> str:
-    """'flat' (optax.flatten: few vector leaves) vs 'tree' (per-leaf)."""
-    n_params = len(jax.tree.leaves(state.params))
-    n_opt = len(jax.tree.leaves(state.opt_state))
-    return "flat" if n_opt < n_params else "tree"
+    """'flat' (optax.flatten) vs 'tree' (per-leaf Adam).
+
+    A flattened optimizer carries its Adam moments as 1-D vectors whose
+    size equals the TOTAL parameter element count — a signature no
+    per-leaf layout has (unless the model itself is a single flat
+    vector, in which case the layouts coincide anyway)."""
+    total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    for leaf in jax.tree.leaves(state.opt_state):
+        if hasattr(leaf, "ndim") and leaf.ndim == 1 and leaf.size == total:
+            return "flat"
+    return "tree"
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int,

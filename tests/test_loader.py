@@ -93,6 +93,48 @@ def test_checkpoint_version_mismatch_raises(tmp_path):
         load_checkpoint(path, state)
 
 
+def test_checkpoint_opt_layout_mismatch_raises(tmp_path, monkeypatch):
+    """r5: per-leaf ('tree') vs optax.flatten ('flat') opt_state layouts
+    cannot be restored into each other; the loader names the fix
+    (FGNN_OPT_FLATTEN) instead of failing with a leaf-count mismatch.
+    Untagged r2-r4 checkpoints are treated as 'flat'."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from fgnn_tpu.train.common import (
+        TrainState, load_checkpoint, make_optimizer, save_checkpoint)
+
+    def make_state(flatten):
+        monkeypatch.setenv("FGNN_OPT_FLATTEN", "1" if flatten else "0")
+        params = {f"w{i}": jnp.ones((3, 3)) for i in range(4)}
+        tx = make_optimizer(1e-3)
+        return TrainState(params=params, batch_stats={},
+                          opt_state=tx.init(params),
+                          gcnt=jnp.asarray(0, jnp.int32))
+
+    flat_state = make_state(True)
+    tree_state = make_state(False)
+    path = str(tmp_path / "flat.ckpt")
+    save_checkpoint(path, flat_state, epoch=3)
+
+    with pytest.raises(ValueError, match="FGNN_OPT_FLATTEN"):
+        load_checkpoint(path, tree_state)
+    restored, epoch, _ = load_checkpoint(path, flat_state)
+    assert epoch == 3
+
+    # untagged (r2-r4) checkpoints default to 'flat'
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    del payload["opt_layout"]
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.raises(ValueError, match="FGNN_OPT_FLATTEN"):
+        load_checkpoint(path, tree_state)
+    restored, epoch, _ = load_checkpoint(path, flat_state)
+    assert epoch == 3
+
+
 def test_prefetcher_fast_producer_slow_consumer_terminates():
     """Regression: when the producer finishes while the bounded queue is
     full (fast producer, consumer stalled e.g. in a jit compile), the done
