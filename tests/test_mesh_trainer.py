@@ -175,6 +175,58 @@ def test_spmd_fused_dispatch_engages(need8, monkeypatch):
     assert calls["n"] > 0, "no conv routed through the SPMD fused kernel"
 
 
+def test_spmd_fused_extension_branch(need8, monkeypatch):
+    """The DIFF-extension conv (the FactorMPNN path) also routes through
+    the shard_map-wrapped fused kernel under a registered mesh, with
+    gradients matching the unmeshed fused run."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import fgnn_tpu.ops.typed_mp as tm
+    from fgnn_tpu.ops import Extension, typed_mp_conv
+    from fgnn_tpu.parallel.mesh import set_spmd_mesh
+
+    monkeypatch.setenv("FGNN_FUSED", "1")
+    rng = np.random.RandomState(0)
+    B, N, Cin, C, K, T = 32, 24, 8, 16, 4, 3
+    x = jnp.asarray(rng.randn(B, N, Cin).astype(np.float32))
+    nn = np.asarray(rng.randint(0, N, (N, K)), np.int32)
+    et = jnp.asarray(rng.rand(B, N, K, T).astype(np.float32))
+    w = jnp.asarray((rng.randn(2 * Cin, C * T) * 0.1).astype(np.float32))
+
+    def loss(x, et, w):
+        out = typed_mp_conv(x, nn, et, w, C,
+                            extension=Extension.ORIG_WITH_DIFF,
+                            aggregator="max")
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, et, w)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    calls = {"n": 0}
+    orig = tm._spmd_fused_call
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        if out is not None:
+            calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(tm, "_spmd_fused_call", spy)
+    set_spmd_mesh(mesh, "data")
+    try:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        es = jax.device_put(et, NamedSharding(mesh, P("data")))
+        g_mesh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xs, es, w)
+    finally:
+        set_spmd_mesh(None)
+    assert calls["n"] == 1, "extension conv did not take the SPMD path"
+    for a, b in zip(g_ref, g_mesh):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_mesh_pure_dp_8x1(need8):
     ds = ContinuousCodesSP(length=16, seed=1)
     data = list(ds.batches(8))
